@@ -1,0 +1,138 @@
+"""Synthetic Ego4View-style dataset generator.
+
+Creates a tiny on-disk dataset tree matching the reference path grammar
+(images, frame JSONs with 2D/3D joints, split files, rw metadata) so the full
+fit/test pipeline can run end-to-end without the 450 GB real dataset --
+used by the integration tests and by bench.py.
+
+The 3D poses are drawn around a plausible body envelope below the head-mounted
+device; 2D joints are the true fisheye projections of those poses through the
+shipped calibrations, so the camera model, heatmap rendering and 3D lifting
+are all geometrically consistent (a model CAN actually learn from this data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from egorear_tpu.data.datasets import CAMERA_NAMES, JOINT_NAMES
+from egorear_tpu.ops.camera import CameraRig
+
+
+def _project_np(rig: CameraRig, pts_bj3: np.ndarray, mats=None) -> np.ndarray:
+    """(B, J, 3) cm -> (B, V, J, 2) pixel coordinates (872-px frame)."""
+    import jax
+
+    if rig.is_rw:
+        B = pts_bj3.shape[0]
+        mats_b = np.broadcast_to(mats[None], (B, *mats.shape)).astype(np.float32)
+        pts2d, _, _ = jax.jit(rig.project)(pts_bj3.astype(np.float32), mats_b)
+    else:
+        pts2d, _, _ = jax.jit(rig.project)(pts_bj3.astype(np.float32))
+    return np.asarray(pts2d) * 872.0
+
+
+def make_synthetic_dataset(
+    root: str,
+    variant: str = "syn",
+    num_chars: int = 1,
+    num_seqs: int = 1,
+    frames_per_seq: int = 8,
+    image_size: int = 96,
+    splits=("train", "validation", "test"),
+    seed: int = 0,
+    write_heatmaps: bool = False,
+):
+    """Build <root>/... with one split file per entry in ``splits``.
+
+    Each split gets its own character/sequence subtree so split files point at
+    disjoint data. Images are small random JPEGs/PNGs (decode path exercise);
+    set ``write_heatmaps`` to also precompute fisheye_hm NPYs (otherwise use
+    render_missing_heatmaps=True in the dataset).
+    """
+    rng = np.random.default_rng(seed)
+    rig = CameraRig.from_calib_file(f"ego4view_{variant}", chained=False)
+    json_dir = "json_smplx_gendered" if variant == "syn" else "json_smplx"
+    ext = ".jpg" if variant == "syn" else ".png"
+
+    for split in splits:
+        lines = []
+        for ci in range(num_chars):
+            if variant == "syn":
+                char = f"rp_{split}_{ci:02d}"
+                base_rel_options = [os.path.join(char, f"seq_{si}") for si in range(num_seqs)]
+                lines.append(char)
+            else:
+                day = f"2024-01-0{ci + 1}"
+                base_rel_options = [
+                    os.path.join(day, f"S{ci}", f"seq{si}-{split}")
+                    for si in range(num_seqs)
+                ]
+                lines.extend(base_rel_options)
+
+            for seq_rel in base_rel_options:
+                seq_dir = os.path.join(root, seq_rel)
+                os.makedirs(os.path.join(seq_dir, json_dir), exist_ok=True)
+
+                # Body-like 3D poses (cm, device frame: x right, y back, z down).
+                base = np.array([0.0, 18.0, -60.0])
+                poses = base + rng.normal(scale=25.0, size=(frames_per_seq, 16, 3))
+                poses[..., 2] -= 40.0  # keep joints below the cameras
+
+                mats = None
+                if variant == "rw":
+                    mats = np.tile(np.eye(4, dtype=np.float64), (4, 1, 1))
+                    mats[:, :3, 3] = rng.normal(scale=0.02, size=(4, 3))
+                    meta = {
+                        "coord_transformation_matrix": {
+                            f"device_to_{c}": mats[i].tolist()
+                            for i, c in enumerate(CAMERA_NAMES)
+                        }
+                    }
+                    with open(seq_dir + "_metadata.json", "w") as f:
+                        json.dump(meta, f)
+
+                pts2d = _project_np(rig, poses, mats)  # (F, V, J, 2)
+
+                for fi in range(frames_per_seq):
+                    frame = f"frame_{fi:04d}"
+                    jdata = {"joints": {}}
+                    for j, name in enumerate(JOINT_NAMES):
+                        entry = {"device_pts3d": poses[fi, j].tolist()}
+                        for vi, cam in enumerate(CAMERA_NAMES):
+                            entry[f"{cam}_pts2d"] = pts2d[fi, vi, j].tolist()
+                        jdata["joints"][name] = entry
+                    with open(os.path.join(seq_dir, json_dir, frame + ".json"), "w") as f:
+                        json.dump(jdata, f)
+
+                    for cam in CAMERA_NAMES:
+                        img_dir = os.path.join(seq_dir, "fisheye_rgb", cam)
+                        os.makedirs(img_dir, exist_ok=True)
+                        arr = rng.integers(
+                            0, 255, size=(image_size, image_size, 3), dtype=np.uint8
+                        )
+                        Image.fromarray(arr).save(
+                            os.path.join(img_dir, frame + ext)
+                        )
+
+                    if write_heatmaps:
+                        from egorear_tpu.ops.heatmap import render_gaussian_targets
+
+                        t, _ = render_gaussian_targets(
+                            pts2d[fi].astype(np.float32)
+                        )
+                        for vi, cam in enumerate(CAMERA_NAMES):
+                            hm_dir = os.path.join(seq_dir, "fisheye_hm", cam)
+                            os.makedirs(hm_dir, exist_ok=True)
+                            np.save(
+                                os.path.join(hm_dir, frame + ".npy"),
+                                np.asarray(t[vi], np.float32),
+                            )
+
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return root

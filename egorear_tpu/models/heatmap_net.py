@@ -1,0 +1,76 @@
+"""Stage-1 per-view 2D joint-heatmap estimator.
+
+Behavioral contract (reference /root/reference/pose_estimation/models/
+estimator/egoposeformer_heatmap.py:9-44): backbone+FPN over view-folded
+batches, then a 1x1 conv head emitting ``num_heatmap`` (15) channels; an
+optional stop-gradient between features and head
+(``detach_heatmap_feat_init``).
+
+Public tensor contract matches the reference (images (B, V, 3, H, W) NCHW,
+heatmaps (B, V, J, h, w)); internally everything is NHWC for the TPU conv
+units.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from egorear_tpu.models.backbone import BackboneWithFPN
+
+
+def fold_views(img_bvchw: jnp.ndarray) -> jnp.ndarray:
+    """(B, V, C, H, W) -> (B*V, H, W, C)."""
+    B, V, C, H, W = img_bvchw.shape
+    return img_bvchw.reshape(B * V, C, H, W).transpose(0, 2, 3, 1)
+
+
+def unfold_views(x_nhwc: jnp.ndarray, B: int, V: int) -> jnp.ndarray:
+    """(B*V, H, W, C) -> (B, V, H, W, C)."""
+    return x_nhwc.reshape(B, V, *x_nhwc.shape[1:])
+
+
+class HeatmapNet(nn.Module):
+    num_heatmap: int = 15
+    out_stride: int = 4
+    fpn_channels: int = 128
+    detach_heatmap_feat_init: bool = False
+
+    def setup(self):
+        self.encoder = BackboneWithFPN(
+            out_stride=self.out_stride, fpn_channels=self.fpn_channels
+        )
+        self.conv_heatmap = nn.Conv(self.num_heatmap, (1, 1))
+
+    def backbone_features(
+        self, img: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """img (B, V, 3, H, W) -> fpn (B, V, h, w, C) + pyramid [(B, V, ...)]."""
+        B, V = img.shape[:2]
+        feats, pyramid = self.encoder(fold_views(img), train)
+        return (
+            unfold_views(feats, B, V),
+            [unfold_views(p, B, V) for p in pyramid],
+        )
+
+    def head(self, feats_bvhwc: jnp.ndarray) -> jnp.ndarray:
+        """FPN features (B, V, h, w, C) -> heatmaps (B, V, J, h, w)."""
+        B, V = feats_bvhwc.shape[:2]
+        x = feats_bvhwc.reshape(B * V, *feats_bvhwc.shape[2:])
+        if self.detach_heatmap_feat_init:
+            x = jax.lax.stop_gradient(x)
+        hm = self.conv_heatmap(x)  # (B*V, h, w, J)
+        hm = hm.transpose(0, 3, 1, 2)
+        return hm.reshape(B, V, *hm.shape[1:])
+
+    def __call__(
+        self, img: jnp.ndarray, train: bool = False, return_feat: bool = False
+    ):
+        feats, pyramid = self.backbone_features(img, train)
+        heatmap = self.head(feats)
+        if return_feat:
+            return heatmap, feats, pyramid
+        return heatmap

@@ -1,0 +1,211 @@
+"""Transformer building blocks shared by the MVFex and Pose3D model families.
+
+Behavioral contracts (reference files under /root/reference/pose_estimation/):
+  * FFN: models/utils/transformer.py:8-33 -- (num_fcs-1) x [Linear -> GELU ->
+    Dropout] followed by Linear -> Dropout (no residual inside).
+  * MultiheadAttention: models/utils/transformer.py:36-108 -- separate
+    q/k/v/out projections, xavier-uniform weights, zero biases, scaled
+    dot-product softmax.
+  * MSDeformAttn: models/utils/deform_attn.py:25-168 -- Linear heads predict
+    per-(head, point) sampling offsets and softmaxed weights; sampling
+    location = reference_point + offset / (W, H); directional ring bias init
+    (:67-88); the bilinear sampling itself is
+    :func:`egorear_tpu.ops.deformable_sampling` (the TPU-native replacement
+    for mmcv's CUDA kernel invoked at deform_attn.py:155-162).
+
+All modules are flax.linen, NHWC/time-major free, bf16-friendly (params in
+fp32; activations follow the caller's dtype).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from egorear_tpu.ops.deform_attn import deformable_sampling
+
+xavier_uniform = nn.initializers.xavier_uniform()
+zeros_init = nn.initializers.zeros
+
+
+class FFN(nn.Module):
+    embed_dims: int
+    feedforward_dims: int
+    num_fcs: int = 2
+    ffn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for _ in range(self.num_fcs - 1):
+            x = nn.Dense(self.feedforward_dims)(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.Dropout(self.ffn_drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.embed_dims)(x)
+        x = nn.Dropout(self.ffn_drop, deterministic=deterministic)(x)
+        return x
+
+
+class MultiheadAttention(nn.Module):
+    """Batch-first multi-head attention over short token sequences.
+
+    The joint-token sequences here are tiny (J = 15/16), so a plain einsum
+    softmax attention is optimal -- the reference's deformable sampling is the
+    long-sequence strategy, not this.
+    """
+
+    embed_dim: int
+    num_heads: int
+    bias: bool = True
+    with_output_proj: bool = True
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_bias: Optional[jnp.ndarray] = None):
+        B, Lq, C = q.shape
+        H = self.num_heads
+        hd = C // H
+        scale = hd**-0.5
+
+        dense = lambda name: nn.Dense(
+            self.embed_dim, use_bias=self.bias,
+            kernel_init=xavier_uniform, bias_init=zeros_init, name=name,
+        )
+        _q = dense("q_proj")(q).reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+        _k = dense("k_proj")(k).reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+        _v = dense("v_proj")(v).reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqc,bhkc->bhqk", _q, _k) * scale
+        if attn_bias is not None:
+            attn = attn + attn_bias
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkc->bhqc", attn, _v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+        if self.with_output_proj:
+            out = dense("out_proj")(out)
+        return out, attn
+
+
+def _deform_offset_bias_init(n_heads: int, n_points: int):
+    """Directional ring bias for sampling offsets (deform_attn.py:67-88)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        thetas = jnp.arange(n_heads, dtype=jnp.float32) * (2.0 * math.pi / n_heads)
+        grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)  # (H, 2)
+        grid = grid / jnp.abs(grid).max(axis=-1, keepdims=True)
+        grid = jnp.tile(grid[:, None, :], (1, n_points, 1))  # (H, P, 2)
+        ring = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, :, None]
+        grid = grid * ring
+        return grid.reshape(-1).astype(dtype)
+
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    """Single-level multi-head deformable attention (n_levels = 1).
+
+    The model family only ever instantiates one level (a 64x64 stride-4 map,
+    egoposeformer_heatmap_mvf_ex.py:767-796), so the multi-level indexing
+    machinery of the reference collapses away; views are folded into the batch
+    axis by callers.
+    """
+
+    d_model: int = 256
+    n_heads: int = 8
+    n_points: int = 16
+    impl: str = "auto"  # deformable_sampling implementation selector
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Q, C)
+        reference_points: jnp.ndarray,  # (B, Q, 2) in [0, 1] (x, y)
+        value_flat: jnp.ndarray,  # (B, H*W, C)
+        spatial_shape: Tuple[int, int],  # static (H, W)
+        return_sampling_locations: bool = False,
+    ):
+        B, Q, C = query.shape
+        H, W = spatial_shape
+        nh, P = self.n_heads, self.n_points
+        ch = C // nh
+
+        value = nn.Dense(
+            C, kernel_init=xavier_uniform, bias_init=zeros_init, name="value_proj"
+        )(value_flat)
+        value = value.reshape(B, H, W, nh, ch)
+
+        offsets = nn.Dense(
+            nh * P * 2,
+            kernel_init=zeros_init,
+            bias_init=_deform_offset_bias_init(nh, P),
+            name="sampling_offsets",
+        )(query).reshape(B, Q, nh, P, 2)
+
+        weights = nn.Dense(
+            nh * P, kernel_init=zeros_init, bias_init=zeros_init,
+            name="attention_weights",
+        )(query).reshape(B, Q, nh, P)
+        weights = jax.nn.softmax(weights, axis=-1)
+
+        normalizer = jnp.asarray([W, H], dtype=offsets.dtype)
+        loc = reference_points[:, :, None, None, :] + offsets / normalizer
+
+        out = deformable_sampling(value, loc, weights, impl=self.impl)
+        out = nn.Dense(
+            C, kernel_init=xavier_uniform, bias_init=zeros_init, name="output_proj"
+        )(out)
+        if return_sampling_locations:
+            return out, loc
+        return out
+
+
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear x2 upsample with align_corners=True as two MXU matmuls.
+
+    Matches torch ``nn.Upsample(scale_factor=2, mode='bilinear',
+    align_corners=True)`` used throughout the reference heads (e.g.
+    backbones/resnet.py:91, egoposeformer_heatmap_mvf_ex.py:108). x is NHWC.
+    """
+    B, H, W, C = x.shape
+    return resize_align_corners(x, (2 * H, 2 * W))
+
+
+def resize_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear align_corners=True resize to ``out_hw``, as two MXU matmuls."""
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (H, W):
+        return x
+    My = jnp.asarray(_interp_matrix_cached(H, oh), dtype=x.dtype)
+    Mx = jnp.asarray(_interp_matrix_cached(W, ow), dtype=x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,bhwc->bowc", My, x, precision=hp)
+    return jnp.einsum("pw,bowc->bopc", Mx, y, precision=hp)
+
+
+_INTERP_CACHE = {}
+
+
+def _interp_matrix_cached(n: int, out_n: int):
+    """NOTE: caches host numpy, never device arrays -- a device constant
+    created inside one jit trace must not be reused in another (tracer leak).
+    """
+    key = (n, out_n)
+    if key not in _INTERP_CACHE:
+        import numpy as np
+
+        m = np.zeros((out_n, n), np.float32)
+        if n == 1 or out_n == 1:
+            m[:, 0] = 1.0
+        else:
+            pos = np.arange(out_n) * (n - 1) / (out_n - 1)
+            lo = np.floor(pos).astype(int)
+            hi = np.minimum(lo + 1, n - 1)
+            w = (pos - lo).astype(np.float32)
+            m[np.arange(out_n), lo] += 1.0 - w
+            m[np.arange(out_n), hi] += w
+        _INTERP_CACHE[key] = m
+    return _INTERP_CACHE[key]

@@ -1,0 +1,490 @@
+"""MVFex: multi-view feature-exchange heatmap refinement with joint-query
+adaptation (JQA) -- the paper's core contribution.
+
+Behavioral contract (reference /root/reference/pose_estimation/models/
+estimator/egoposeformer_heatmap_mvf_ex.py):
+  * ``MVFexRefiner`` == HeatmapMVF (:442-731): joint queries built per the JQA
+    / JQA-multi-view / query-only / heatmap-embedding modes (:476-520,
+    :655-687); memory = per-view 1x1-projected FPN features + learned
+    per-view positional embeddings (:522-523, :689-693); N x multi-view
+    transformer layers; after each layer the post-normed 256-d joint tokens
+    are reshaped to (J, 16, 16) maps, upsampled by a conv head, added to the
+    (stop-gradient) downsampled frame features and decoded to refined
+    heatmaps (:695-731).
+  * ``MultiViewTransformerLayer`` (:820-935): per-view deformable cross
+    attention at the 2D anchors with invalid-anchor masking, a Linear fuse
+    over the concatenated per-view results, spatial MHA over joint tokens,
+    FFN; residual + post-LayerNorm after each.
+  * ``HeatmapMVFexNet`` == EgoPoseFormerHeatmapMVFEX (:27-437): stereo-front/
+    back stage-1 estimators (V-dependent layout :67-89), anchor extraction by
+    heatmap argmax (:128-143), detach policies (full_training /
+    use_pred_heatmap_init / no_detach_feat_init / detach_heatmap_feat*,
+    :236-297), per-view refiners, outputs re-stacked per layer (:299-437).
+
+TPU-first deviations from the reference implementation (same math):
+  * The V per-view refiner modules (independent weights, :71-89) are stacked
+    along a leading axis and run as ONE vmapped program instead of V
+    sequential module calls.
+  * Inside a transformer layer the per-view cross-attention loop (:905-911)
+    is a single deformable-attention call with views folded into the batch.
+  * Feature maps are NHWC end to end.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from egorear_tpu.models.configs import MVFCfg, MVFexNetCfg, TransformerLayerCfg
+from egorear_tpu.models.heatmap_net import HeatmapNet
+from egorear_tpu.models.layers import (
+    FFN,
+    MSDeformAttn,
+    MultiheadAttention,
+    resize_align_corners,
+    upsample2x_align_corners,
+)
+from egorear_tpu.ops.heatmap import argmax_2d
+
+relu = nn.relu
+
+
+class MultiViewTransformerLayer(nn.Module):
+    """Cross-view deformable attention + spatial MHA + FFN (post-norm)."""
+
+    num_views: int
+    embed_dims: int
+    feat_shape: Tuple[int, int]
+    cfg: TransformerLayerCfg = TransformerLayerCfg()
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, J, C)
+        memory: jnp.ndarray,  # (B, V, HW, C)
+        anchors_2d: jnp.ndarray,  # (B, V, J, 2), [0, 1]
+        anchors_valid: jnp.ndarray,  # (B, V, J) bool
+    ) -> jnp.ndarray:
+        B, J, C = query.shape
+        V = self.num_views
+
+        # --- cross attention into every view, views folded into batch ---
+        identity = query
+        if self.cfg.use_normal_cross_attn:
+            q_folded = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
+                B * V, J, C
+            )
+            kv = memory.reshape(B * V, -1, C)
+            attn = MultiheadAttention(
+                self.embed_dims, 4, name="cross_attn_dense"
+            )
+            per_view, _ = attn(q_folded, kv, kv)
+            per_view = per_view.reshape(B, V, J, C)
+        else:
+            q_folded = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
+                B * V, J, C
+            )
+            kv = memory.reshape(B * V, -1, C)
+            anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
+            per_view = MSDeformAttn(
+                d_model=self.embed_dims,
+                n_heads=self.cfg.cross_attn.num_heads,
+                n_points=16,
+                name="cross_attn",
+            )(q_folded, anchors, kv, self.feat_shape)
+            per_view = per_view.reshape(B, V, J, C)
+            per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
+
+        fused = per_view.transpose(0, 2, 1, 3).reshape(B, J, V * C)
+        fused = nn.Dense(self.embed_dims, name="fuse_mlp")(fused)
+        x = nn.LayerNorm(name="norm_cross")(identity + fused)
+
+        # --- spatial attention over joint tokens ---
+        attn_res, _ = MultiheadAttention(
+            self.embed_dims, self.cfg.spatial_attn.num_heads, name="spatial_attn"
+        )(x, x, x)
+        x = nn.LayerNorm(name="norm_spatial")(x + attn_res)
+
+        # --- FFN ---
+        ffn_out = FFN(
+            self.embed_dims,
+            self.cfg.ffn.feedforward_dims,
+            self.cfg.ffn.num_fcs,
+            self.cfg.ffn.ffn_drop,
+            name="ffn",
+        )(x)
+        x = nn.LayerNorm(name="norm_ffn")(x + ffn_out)
+        return x
+
+
+class TransformerHeadLayer(nn.Module):
+    """Joint-token maps (B, h, w, J) -> upsampled feature maps (B, 2h, 2w, C).
+
+    Reference egoposeformer_heatmap_mvf_ex.py:938-970 (the 128- and 512-
+    channel variants)."""
+
+    output_dims: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        if self.output_dims == 128:
+            x = relu(nn.Conv(self.output_dims // 2, (1, 1))(x))
+            x = upsample2x_align_corners(x)
+            x = relu(nn.Conv(self.output_dims, (1, 1))(x))
+        elif self.output_dims == 512:
+            x = relu(nn.Conv(x.shape[-1], (1, 1))(x))
+            x = relu(nn.Conv(self.output_dims // 8, (1, 1))(x))
+            x = upsample2x_align_corners(x)
+            x = relu(nn.Conv(self.output_dims // 4, (1, 1))(x))
+            x = relu(nn.Conv(self.output_dims, (1, 1))(x))
+        else:
+            raise ValueError(f"unsupported output_dims {self.output_dims}")
+        return x
+
+
+class MVFexRefiner(nn.Module):
+    """Per-view heatmap refiner (reference HeatmapMVF)."""
+
+    num_views: int
+    num_heatmap: int
+    feat_shape: Tuple[int, int]
+    detach_heatmap_feat: bool
+    cfg: MVFCfg
+
+    @nn.compact
+    def __call__(
+        self,
+        heatmap: jnp.ndarray,  # (B, J, h, w) this view's initial heatmaps
+        frame_feat: jnp.ndarray,  # (B, h, w, Cin) this view's FPN features
+        frame_feat_mv: jnp.ndarray,  # (B, V, h, w, Cin) all views
+        anchors_2d: jnp.ndarray,  # (B, V, J, 2)
+        anchors_valid: jnp.ndarray,  # (B, V, J)
+        bfb: jnp.ndarray,  # (B, 512) pooled backbone bottom, this view
+        bfb_mv: jnp.ndarray,  # (B, V, 512) pooled backbone bottom, all views
+    ):
+        cfg = self.cfg
+        B = heatmap.shape[0]
+        J = self.num_heatmap
+        h, w = self.feat_shape
+        C = cfg.embed_dims
+        Cin = cfg.input_dims
+
+        # ---- joint-query construction ----
+        def heatmap_embed():
+            flat = heatmap.reshape(B, J, h * w)
+            e = nn.Dense(C, name="heatmap_proj_0")(flat)
+            e = relu(e)
+            return nn.Dense(C, name="heatmap_proj_1")(e)
+
+        if cfg.joint_query_adaptation or cfg.joint_query_adaptation_multi_view:
+            hm_embed = heatmap_embed()
+            if cfg.joint_query_adaptation:
+                pooled = bfb  # (B, 512)
+            else:
+                pooled = bfb_mv.reshape(B, -1)  # (B, V*512)
+            bfb_embed = nn.Dense(C, name="fc_bfb")(pooled)[:, None]  # (B, 1, C)
+            jq = self.param(
+                "joint_query_embed", nn.initializers.normal(1.0), (J, C)
+            )
+            x = relu(
+                nn.Dense(C, name="fc_query")(jq[None] + bfb_embed + hm_embed)
+            )
+        elif cfg.joint_query_only:
+            jq = self.param(
+                "joint_query_embed", nn.initializers.normal(1.0), (J, C)
+            )
+            x = relu(nn.Dense(C, name="fc_query")(jnp.tile(jq[None], (B, 1, 1))))
+        else:
+            pos = self.param(
+                "query_pos_embed", nn.initializers.zeros, (1, J, C)
+            )
+            x = heatmap_embed() + pos
+
+        # ---- multi-view memory ----
+        V = self.num_views
+        mv = frame_feat_mv.reshape(B * V, h, w, Cin)
+        mv = nn.Conv(C, (1, 1), name="frame_feat_multi_view_proj")(mv)
+        mv = mv.reshape(B, V, h * w, C)
+        mv_pos = self.param(
+            "frame_feat_multi_view_pos_embed",
+            nn.initializers.zeros,
+            (1, V, h * w, C),
+        )
+        memory = mv + mv_pos
+
+        # ---- downsampled frame features for the residual head ----
+        f = relu(nn.Conv(Cin * 2, (1, 1), name="ff_proj_0")(frame_feat))
+        f = relu(
+            nn.Conv(
+                Cin * 4, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                name="ff_proj_1",
+            )(f)
+        )
+        f = relu(nn.Conv(Cin, (1, 1), name="ff_proj_2")(f))  # (B, h/2, w/2, Cin)
+
+        list_heatmap, list_feat = [], []
+        for idx in range(cfg.num_former_layers):
+            x = MultiViewTransformerLayer(
+                num_views=V,
+                embed_dims=C,
+                feat_shape=self.feat_shape,
+                cfg=cfg.transformer,
+                name=f"transformer_{idx}",
+            )(x, memory, anchors_2d, anchors_valid)
+
+            _x = nn.LayerNorm(name=f"post_norm_{idx}")(x)
+            side = int(C**0.5)
+            token_maps = _x.reshape(B, J, side, side).transpose(0, 2, 3, 1)
+            offset = TransformerHeadLayer(
+                output_dims=Cin, name=f"head_{idx}"
+            )(token_maps)  # (B, 2*side, 2*side, Cin)
+            # The reference geometry only lines up for 256px inputs (2*side ==
+            # h/2); the exact align-corners resize is a no-op there and makes
+            # other image sizes work.
+            offset = resize_align_corners(offset, f.shape[1:3])
+
+            refined = offset + jax.lax.stop_gradient(f)
+            refined = relu(
+                nn.Conv(Cin, (1, 1), name=f"ff_refined_proj_{idx}_0")(refined)
+            )
+            refined = upsample2x_align_corners(refined)
+            refined = relu(
+                nn.Conv(Cin, (1, 1), name=f"ff_refined_proj_{idx}_1")(refined)
+            )  # (B, h, w, Cin)
+            list_feat.append(refined)
+
+            hm_in = (
+                jax.lax.stop_gradient(refined)
+                if self.detach_heatmap_feat
+                else refined
+            )
+            if cfg.use_1by1_conv:
+                hm = nn.Conv(J, (1, 1), name="conv_heatmap")(hm_in)
+            else:
+                y = relu(
+                    nn.Conv(
+                        Cin * 2, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                        name=f"conv_hm_{idx}_0",
+                    )(hm_in)
+                )
+                y = relu(nn.Conv(Cin * 2, (1, 1), name=f"conv_hm_{idx}_1")(y))
+                y = upsample2x_align_corners(y)
+                y = relu(nn.Conv(Cin, (1, 1), name=f"conv_hm_{idx}_2")(y))
+                hm = nn.Conv(J, (1, 1), name=f"conv_hm_{idx}_3")(y)
+            list_heatmap.append(hm.transpose(0, 3, 1, 2))  # (B, J, h, w)
+
+        return list_heatmap, list_feat
+
+
+class ConvHeatmapHead(nn.Module):
+    """Conv-stack heatmap head used when ``use_1by1_conv`` is off at the
+    MVFEX level (egoposeformer_heatmap_mvf_ex.py:101-126)."""
+
+    input_dims: int
+    num_heatmap: int
+
+    @nn.compact
+    def __call__(self, x):  # (N, h, w, Cin)
+        d = self.input_dims
+        x = relu(nn.Conv(d, (1, 1))(x))
+        x = relu(nn.Conv(d * 2, (3, 3), strides=2, padding=((1, 1), (1, 1)))(x))
+        x = relu(nn.Conv(d * 2, (1, 1))(x))
+        x = upsample2x_align_corners(x)
+        x = relu(nn.Conv(d, (1, 1))(x))
+        return nn.Conv(self.num_heatmap, (1, 1))(x)
+
+
+class HeatmapMVFexNet(nn.Module):
+    """Stage-2 network: stereo estimators + V stacked MVFex refiners."""
+
+    cfg: MVFexNetCfg
+
+    def setup(self):
+        cfg = self.cfg
+        V = cfg.num_views
+        enc = cfg.encoder
+        self.heatmap_estimator_stereo_front = HeatmapNet(
+            num_heatmap=cfg.num_heatmap,
+            out_stride=enc.out_stride,
+            fpn_channels=enc.fpn_channels,
+            detach_heatmap_feat_init=cfg.detach_heatmap_feat_init,
+        )
+        if V >= 3:
+            self.heatmap_estimator_stereo_back = HeatmapNet(
+                num_heatmap=cfg.num_heatmap,
+                out_stride=enc.out_stride,
+                fpn_channels=enc.fpn_channels,
+                detach_heatmap_feat_init=cfg.detach_heatmap_feat_init,
+            )
+
+        # V refiners with independent weights, stacked and vmapped: one
+        # compiled program refines every view at once.
+        RefinerStack = nn.vmap(
+            MVFexRefiner,
+            in_axes=(1, 1, None, None, None, 1, None),
+            out_axes=1,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )
+        self.refiners = RefinerStack(
+            num_views=V,
+            num_heatmap=cfg.num_heatmap,
+            feat_shape=cfg.feat_shape,
+            detach_heatmap_feat=cfg.detach_heatmap_feat,
+            cfg=cfg.mvf,
+        )
+
+        self.use_1by1_conv = cfg.mvf.use_1by1_conv
+        if not self.use_1by1_conv:
+            self.conv_heatmap_head_front = ConvHeatmapHead(
+                cfg.mvf.input_dims, cfg.num_heatmap
+            )
+            if V >= 3:
+                self.conv_heatmap_head_back = ConvHeatmapHead(
+                    cfg.mvf.input_dims, cfg.num_heatmap
+                )
+
+    # -- stage-1 dispatch over the front/back stereo pairs ------------------
+
+    def _estimator_outputs(self, img, train):
+        """Full stage-1: heatmaps + FPN feats + pyramid, views concatenated."""
+        cfg = self.cfg
+        if cfg.num_views >= 3:
+            hm_f, feat_f, pyr_f = self.heatmap_estimator_stereo_front(
+                img[:, 0:2], train, return_feat=True
+            )
+            hm_b, feat_b, pyr_b = self.heatmap_estimator_stereo_back(
+                img[:, 2:], train, return_feat=True
+            )
+            hm = jnp.concatenate([hm_f, hm_b], axis=1)
+            feat = jnp.concatenate([feat_f, feat_b], axis=1)
+            pyramid = [
+                jnp.concatenate([a, b], axis=1) for a, b in zip(pyr_f, pyr_b)
+            ]
+        else:
+            hm, feat, pyramid = self.heatmap_estimator_stereo_front(
+                img, train, return_feat=True
+            )
+        return hm, feat, pyramid
+
+    def _estimator_features(self, img, train):
+        cfg = self.cfg
+        if cfg.num_views >= 3:
+            feat_f, pyr_f = self.heatmap_estimator_stereo_front.backbone_features(
+                img[:, 0:2], train
+            )
+            feat_b, pyr_b = self.heatmap_estimator_stereo_back.backbone_features(
+                img[:, 2:], train
+            )
+            feat = jnp.concatenate([feat_f, feat_b], axis=1)
+            pyramid = [
+                jnp.concatenate([a, b], axis=1) for a, b in zip(pyr_f, pyr_b)
+            ]
+        else:
+            feat, pyramid = self.heatmap_estimator_stereo_front.backbone_features(
+                img, train
+            )
+        return feat, pyramid
+
+    def _heatmaps_from_feat(self, feat):
+        """Conv-stack heads at the MVFEX level (used when not use_1by1_conv)."""
+        cfg = self.cfg
+        B, V = feat.shape[:2]
+        J = cfg.num_heatmap
+        if cfg.num_views >= 3:
+            f = feat[:, 0:2].reshape(B * 2, *feat.shape[2:])
+            b = feat[:, 2:].reshape(B * (V - 2), *feat.shape[2:])
+            hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
+            hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
+            hm = jnp.concatenate(
+                [
+                    hm_f.reshape(B, 2, J, *hm_f.shape[2:]),
+                    hm_b.reshape(B, V - 2, J, *hm_b.shape[2:]),
+                ],
+                axis=1,
+            )
+        else:
+            f = feat.reshape(B * V, *feat.shape[2:])
+            hm = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
+            hm = hm.reshape(B, V, J, *hm.shape[2:])
+        return hm
+
+    def get_anchors_2d(self, heatmap):
+        """Per-view argmax anchors (egoposeformer_heatmap_mvf_ex.py:128-143)."""
+        heatmap = jax.lax.stop_gradient(heatmap)
+        pts2d, maxvals, valid = argmax_2d(
+            heatmap, threshold=self.cfg.heatmap_threshold, normalize=True
+        )
+        return pts2d, maxvals, valid
+
+    def __call__(
+        self,
+        img: jnp.ndarray,  # (B, V, 3, H, W)
+        train: bool = False,
+        heatmap_for_anchor: Optional[jnp.ndarray] = None,
+    ):
+        cfg = self.cfg
+        sg = jax.lax.stop_gradient
+
+        # ---- stage-1 with the reference detach policy (:236-297) ----
+        if self.use_1by1_conv:
+            hm_init, feat_init, pyramid_init = self._estimator_outputs(img, train)
+            if not cfg.full_training:
+                hm_init, feat_init, pyramid_init = jax.tree.map(
+                    sg, (hm_init, feat_init, pyramid_init)
+                )
+            bfb_init = pyramid_init[-1]
+            if cfg.use_pred_heatmap_init:
+                hm_for_refine = sg(hm_init)
+                if cfg.no_detach_feat_init:
+                    feat, bfb = feat_init, bfb_init
+                else:
+                    feat, bfb = sg(feat_init), sg(bfb_init)
+            else:
+                hm_for_refine, feat, bfb = hm_init, feat_init, bfb_init
+        else:
+            feat_init, pyramid_init = self._estimator_features(img, train)
+            if not cfg.full_training:
+                feat_init, pyramid_init = jax.tree.map(
+                    sg, (feat_init, pyramid_init)
+                )
+            bfb_init = pyramid_init[-1]
+            if cfg.use_pred_heatmap_init:
+                hm_init = self._heatmaps_from_feat(sg(feat_init))
+                hm_for_refine = sg(hm_init)
+                if cfg.no_detach_feat_init:
+                    feat, bfb = feat_init, bfb_init
+                else:
+                    feat, bfb = sg(feat_init), sg(bfb_init)
+            else:
+                hm_init = self._heatmaps_from_feat(feat_init)
+                hm_for_refine, feat, bfb = hm_init, feat_init, bfb_init
+
+        list_heatmap = [hm_init]
+        list_feat = [feat_init]
+
+        anchor_src = (
+            heatmap_for_anchor if heatmap_for_anchor is not None else hm_init
+        )
+        anchors_2d, _, anchors_valid = self.get_anchors_2d(anchor_src)
+
+        # pooled bottom-of-backbone features (B, V, 512)
+        bfb_pooled = bfb.mean(axis=(2, 3))
+
+        # ---- stacked refiners over all views at once ----
+        hm_layers, feat_layers = self.refiners(
+            hm_for_refine,  # (B, V, J, h, w), vmapped over axis 1
+            feat,  # (B, V, h, w, C), axis 1
+            feat,  # broadcast: full multi-view tensor
+            anchors_2d,
+            anchors_valid,
+            bfb_pooled,  # (B, V, 512), axis 1
+            bfb_pooled,  # broadcast
+        )
+        # hm_layers: list over layers of (B, V, J, h, w); feat_layers likewise.
+        list_heatmap.extend(hm_layers)
+        list_feat.extend(feat_layers)
+        return list_heatmap, list_feat

@@ -1,0 +1,263 @@
+"""Deformable attention sampling -- the TPU-native replacement for the
+reference's only native kernel (mmcv's CUDA ``MultiScaleDeformableAttnFunction``,
+invoked at /root/reference/pose_estimation/models/utils/deform_attn.py:155-162).
+
+Semantics (matching the CUDA kernel / ``grid_sample(align_corners=False,
+padding_mode='zeros')``): for each (query q, head h, point p) with a sampling
+location ``loc`` normalized to [0, 1],
+
+    y = loc_y * H - 0.5,  x = loc_x * W - 0.5
+    out[q, h] = sum_p w[q, h, p] * bilinear(value[:, :, h], y, x)
+
+where bilinear corners falling outside the grid contribute zero.
+
+The model family only ever uses a single 64x64 level with 16 points and <= 16
+queries (deform_attn.py:30, egoposeformer_heatmap_mvf_ex.py:772), so the
+multi-level machinery collapses to one level; views are folded into the batch
+axis by the callers.
+
+Three implementations, one contract:
+  * ``gather``  -- XLA take_along_axis oracle; reference for correctness.
+  * ``onehot``  -- expresses the bilinear sample as two small matmuls
+                   (row-interp matrix @ value @ col weights) so the work lands
+                   on the MXU instead of scatter/gather units. Differentiable.
+  * ``pallas``  -- Pallas TPU kernel of the onehot formulation, fusing weight
+                   construction, both matmuls and the attention-weighted
+                   reduction in VMEM; backward falls back to the onehot VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Impl = Literal["auto", "gather", "onehot", "pallas"]
+
+
+def deformable_sampling(
+    value: jnp.ndarray,
+    loc: jnp.ndarray,
+    attn_w: jnp.ndarray,
+    impl: Impl = "auto",
+) -> jnp.ndarray:
+    """Attention-weighted bilinear sampling.
+
+    Args:
+      value: (B, H, W, nh, ch) per-head value maps.
+      loc: (B, Q, nh, P, 2) sampling locations in [0, 1], (x, y) order.
+      attn_w: (B, Q, nh, P) attention weights (softmaxed by the caller).
+      impl: implementation selector; "auto" picks pallas on TPU for the
+        forward pass and the onehot formulation elsewhere.
+
+    Returns:
+      (B, Q, nh * ch) sampled features.
+    """
+    if impl == "auto":
+        # Measured on TPU v5e (B=32, 64x64 map, J=15, P=16): onehot 932us,
+        # pallas 1495us, gather 2502us -- XLA fuses the onehot formulation
+        # best, so it is the default; the Pallas kernel remains selectable.
+        impl = "onehot"
+    if impl == "gather":
+        return _sample_gather(value, loc, attn_w)
+    if impl == "onehot":
+        return _sample_onehot(value, loc, attn_w)
+    if impl == "pallas":
+        return _sample_pallas_vjp(value, loc, attn_w)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def _corner_weights(loc, H, W):
+    """Shared corner/weight computation.
+
+    Returns x0, y0 (int32 floors), lx, ly (fractional parts), with
+    ``loc`` -> pixel mapping x = loc_x * W - 0.5 (align_corners=False).
+    """
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    return x0.astype(jnp.int32), y0.astype(jnp.int32), lx, ly
+
+
+def _sample_gather(value, loc, attn_w):
+    B, H, W, nh, ch = value.shape
+    Q, P = loc.shape[1], loc.shape[3]
+
+    # (B, nh, HW, ch) / (B, nh, Q, P, ...)
+    v = value.transpose(0, 3, 1, 2, 4).reshape(B, nh, H * W, ch)
+    loc = loc.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, P, 2)
+    w = attn_w.transpose(0, 2, 1, 3)  # (B, nh, Q, P)
+
+    x0, y0, lx, ly = _corner_weights(loc, H, W)
+
+    out = jnp.zeros((B, nh, Q, ch), dtype=value.dtype)
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        xc = x0 + dx
+        yc = y0 + dy
+        wt = jnp.where(dx == 1, lx, 1.0 - lx) * jnp.where(dy == 1, ly, 1.0 - ly)
+        ok = (xc >= 0) & (xc < W) & (yc >= 0) & (yc < H)
+        idx = jnp.clip(yc, 0, H - 1) * W + jnp.clip(xc, 0, W - 1)  # (B,nh,Q,P)
+        g = jnp.take_along_axis(
+            v, idx.reshape(B, nh, Q * P)[..., None], axis=2
+        ).reshape(B, nh, Q, P, ch)
+        out = out + jnp.sum(
+            g * (wt * ok.astype(wt.dtype) * w)[..., None], axis=3
+        )
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * ch)
+
+
+def _interp_matrix(c0, frac, n):
+    """Rows of a linear-interpolation matrix: (..., K) indices/fracs -> (..., K, n).
+
+    Each row holds (1-frac) at c0 and frac at c0+1, with out-of-range corners
+    dropped (zero padding).
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, frac.shape + (n,), frac.ndim)
+    c0e = c0[..., None]
+    m0 = (iota == c0e) & (c0e >= 0) & (c0e < n)
+    m1 = (iota == c0e + 1) & (c0e + 1 >= 0) & (c0e + 1 < n)
+    return (
+        m0.astype(frac.dtype) * (1.0 - frac[..., None])
+        + m1.astype(frac.dtype) * frac[..., None]
+    )
+
+
+def _sample_onehot(value, loc, attn_w):
+    B, H, W, nh, ch = value.shape
+    Q, P = loc.shape[1], loc.shape[3]
+
+    loc = loc.transpose(0, 2, 1, 3, 4).reshape(B, nh, Q * P, 2)
+    w = attn_w.transpose(0, 2, 1, 3).reshape(B, nh, Q * P)
+    x0, y0, lx, ly = _corner_weights(loc, H, W)
+
+    ry = _interp_matrix(y0, ly, H)  # (B, nh, QP, H)
+    cx = _interp_matrix(x0, lx, W)  # (B, nh, QP, W)
+
+    v = value.transpose(0, 3, 1, 2, 4)  # (B, nh, H, W, ch)
+    # Row interpolation on the MXU: (QP, H) @ (H, W*ch).
+    rows = jnp.einsum(
+        "bnph,bnhwc->bnpwc", ry, v, preferred_element_type=jnp.float32
+    )
+    # Column interpolation + attention-weighted reduction over points.
+    samp = jnp.einsum("bnpwc,bnpw->bnpc", rows, cx)
+    samp = samp * w[..., None]
+    out = samp.reshape(B, nh, Q, P, ch).sum(axis=3)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * ch).astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_deform_kernel(H: int, W: int, P: int):
+    """Build the kernel for a static (H, W, points-per-query) geometry.
+
+    One (batch * head) program. Strategy: accumulate the full bilinear
+    sampling operator S of shape (Q, H*W) -- for each of the P points per
+    query, scatter its 4 corner weights (bilinear x attention weight) into the
+    query's row via lane-dimension iota comparisons -- then emit the sample as
+    ONE MXU matmul S @ value_flat. Everything stays 2-D, so no Mosaic-hostile
+    lane/sublane reshapes.
+
+    VMEM working set (64x64 map, Q=16, ch=64, f32): value 1 MB + S 0.25 MB.
+    """
+
+    def kernel(value_ref, locx_ref, locy_ref, w_ref, out_ref):
+        # value_ref: (1, H*W, ch); locx/locy/w: (1, Q, P); out: (1, Q, ch).
+        Q = out_ref.shape[1]
+        HW = H * W
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Q, HW), 1)
+        S = jnp.zeros((Q, HW), jnp.float32)
+
+        for p in range(P):
+            x = locx_ref[0, :, p : p + 1] * W - 0.5  # (Q, 1)
+            y = locy_ref[0, :, p : p + 1] * H - 0.5
+            aw = w_ref[0, :, p : p + 1]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xc = x0i + dx
+                    yc = y0i + dy
+                    ok = (xc >= 0) & (xc < W) & (yc >= 0) & (yc < H)
+                    flat = jnp.where(ok, yc * W + xc, -1)  # (Q, 1)
+                    wt = (
+                        (lx if dx else 1.0 - lx)
+                        * (ly if dy else 1.0 - ly)
+                        * aw
+                    )
+                    S = S + jnp.where(iota == flat, wt, 0.0)
+
+        out_ref[0] = jnp.dot(
+            S, value_ref[0], preferred_element_type=jnp.float32
+        )
+
+    return kernel
+
+
+def _sample_pallas_fwd(value, loc, attn_w):
+    B, H, W, nh, ch = value.shape
+    Q, P = loc.shape[1], loc.shape[3]
+    G = B * nh
+
+    v = value.transpose(0, 3, 1, 2, 4).reshape(G, H * W, ch).astype(jnp.float32)
+    loc_t = loc.transpose(0, 2, 1, 3, 4).reshape(G, Q, P, 2).astype(jnp.float32)
+    locx = loc_t[..., 0]
+    locy = loc_t[..., 1]
+    w = attn_w.transpose(0, 2, 1, 3).reshape(G, Q, P).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _make_deform_kernel(H, W, P),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, H * W, ch), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q, ch), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Q, ch), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * Q * H * W * ch,
+            bytes_accessed=G * (H * W * ch + 3 * Q * P + Q * ch) * 4,
+            transcendentals=0,
+        ),
+    )(v, locx, locy, w)
+    out = out.reshape(B, nh, Q, ch)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * ch).astype(value.dtype)
+
+
+@jax.custom_vjp
+def _sample_pallas_vjp(value, loc, attn_w):
+    return _sample_pallas_fwd(value, loc, attn_w)
+
+
+def _pallas_fwd_rule(value, loc, attn_w):
+    return _sample_pallas_fwd(value, loc, attn_w), (value, loc, attn_w)
+
+
+def _pallas_bwd_rule(res, g):
+    value, loc, attn_w = res
+    _, vjp = jax.vjp(_sample_onehot, value, loc, attn_w)
+    return vjp(g)
+
+
+_sample_pallas_vjp.defvjp(_pallas_fwd_rule, _pallas_bwd_rule)

@@ -1,0 +1,95 @@
+"""Parity tests for the deformable sampling op.
+
+The gather implementation is validated against a per-point scalar numpy
+bilinear sampler (grid_sample align_corners=False, zero padding -- the mmcv
+CUDA kernel contract); onehot and pallas are validated against gather.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from egorear_tpu.ops.deform_attn import (
+    _sample_gather,
+    _sample_onehot,
+    _sample_pallas_vjp,
+    deformable_sampling,
+)
+
+
+def _naive(value, loc, w):
+    B, H, W, nh, ch = value.shape
+    Q, P = loc.shape[1], loc.shape[3]
+    out = np.zeros((B, Q, nh, ch), np.float64)
+    for b in range(B):
+        for q in range(Q):
+            for h in range(nh):
+                for p in range(P):
+                    x = loc[b, q, h, p, 0] * W - 0.5
+                    y = loc[b, q, h, p, 1] * H - 0.5
+                    x0, y0 = int(np.floor(x)), int(np.floor(y))
+                    lx, ly = x - x0, y - y0
+                    acc = np.zeros(ch)
+                    for dy, wy in ((0, 1 - ly), (1, ly)):
+                        for dx, wx in ((0, 1 - lx), (1, lx)):
+                            xx, yy = x0 + dx, y0 + dy
+                            if 0 <= xx < W and 0 <= yy < H:
+                                acc += wy * wx * value[b, yy, xx, h]
+                    out[b, q, h] += w[b, q, h, p] * acc
+    return out.reshape(B, Q, nh * ch)
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = np.random.default_rng(0)
+    B, H, W, nh, ch, Q, P = 2, 16, 16, 4, 8, 15, 16
+    value = rng.normal(size=(B, H, W, nh, ch)).astype(np.float32)
+    # Locations spanning in-bounds, boundary, and out-of-bounds regions.
+    loc = rng.uniform(-0.2, 1.2, size=(B, Q, nh, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Q, nh, P)).astype(np.float32)
+    w /= w.sum(axis=-1, keepdims=True)
+    return value, loc, w
+
+
+def test_gather_matches_naive(case):
+    value, loc, w = case
+    got = np.asarray(_sample_gather(*map(np.asarray, case)))
+    want = _naive(value, loc, w)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_onehot_matches_gather(case):
+    got = np.asarray(_sample_onehot(*case))
+    want = np.asarray(_sample_gather(*case))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_matches_gather_interpret(case):
+    # CPU CI: run the Pallas kernel in interpreter mode.
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_sample_pallas_vjp(*case))
+    want = np.asarray(_sample_gather(*case))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gradients_match_between_impls(case):
+    value, loc, w = case
+
+    def loss(fn, v, l, a):
+        return (fn(v, l, a) ** 2).sum()
+
+    g1 = jax.grad(lambda v, l, a: loss(_sample_gather, v, l, a), argnums=(0, 1, 2))(
+        value, loc, w
+    )
+    g2 = jax.grad(lambda v, l, a: loss(_sample_onehot, v, l, a), argnums=(0, 1, 2))(
+        value, loc, w
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_public_entrypoint_dispatch(case):
+    out = deformable_sampling(*case, impl="onehot")
+    assert out.shape == (2, 15, 32)
