@@ -1,0 +1,148 @@
+"""Lightning-CLI-compatible YAML configuration front-end.
+
+Consumes the reference's experiment YAMLs unchanged (configs/*.yaml:
+``seed_everything`` / ``model.class_path`` / ``model.init_args`` /
+``trainer.*`` -- jsonargparse schema, README.md:183-189 CLI usage) and maps
+them onto egorear_tpu tasks + trainer settings. Dot-overrides
+(``--model.batch_size 1 --trainer.devices 1``) are supported like the
+reference CLI.
+
+Reference class_paths map to native tasks:
+  pose_estimation.pl_wrappers.egoposeformer.PoseHeatmapLightningModel  -> heatmap
+  ...PoseHeatmapMVFEXLightningModel                                    -> heatmap_mvf_ex
+  ...Pose3DMVFEXLightningModel                                         -> pose_3d_mvf_ex
+Unknown trainer keys are ignored with a log line (benchmark, callbacks we
+don't need, etc.). torch.compile flags are ignored -- everything is jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from egorear_tpu.train.trainer import TrainerConfig
+from egorear_tpu.utils.logging import get_logger
+
+logger = get_logger("config")
+
+CLASS_PATH_TO_TASK = {
+    "pose_estimation.pl_wrappers.egoposeformer.PoseHeatmapLightningModel": "heatmap",
+    "pose_estimation.pl_wrappers.egoposeformer.PoseHeatmapMVFEXLightningModel": "heatmap_mvf_ex",
+    "pose_estimation.pl_wrappers.egoposeformer.Pose3DMVFEXLightningModel": "pose_3d_mvf_ex",
+    "egorear_tpu.train.tasks.HeatmapTask": "heatmap",
+    "egorear_tpu.train.tasks.MVFexTask": "heatmap_mvf_ex",
+    "egorear_tpu.train.tasks.Pose3DTask": "pose_3d_mvf_ex",
+    "heatmap": "heatmap",
+    "heatmap_mvf_ex": "heatmap_mvf_ex",
+    "pose_3d_mvf_ex": "pose_3d_mvf_ex",
+}
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    task_name: str
+    init_args: Dict[str, Any]
+    trainer: TrainerConfig
+    seed: int = 42
+
+    @property
+    def model_cfg(self) -> dict:
+        return self.init_args.get("model_cfg", {})
+
+
+def _deep_set(d: dict, dotted: str, value):
+    keys = dotted.split(".")
+    node = d
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _parse_scalar(s: str):
+    try:
+        return yaml.safe_load(s)
+    except Exception:
+        return s
+
+
+def apply_overrides(raw: dict, overrides: List[str]) -> dict:
+    """--model.batch_size 1 --trainer.devices 1 style dot-overrides."""
+    i = 0
+    while i < len(overrides):
+        tok = overrides[i]
+        if not tok.startswith("--"):
+            raise ValueError(f"unexpected CLI token {tok!r}")
+        key = tok[2:]
+        if "=" in key:
+            key, val = key.split("=", 1)
+            i += 1
+        else:
+            if i + 1 >= len(overrides):
+                raise ValueError(f"missing value for {tok}")
+            val = overrides[i + 1]
+            i += 2
+        if key.startswith("model."):
+            _deep_set(raw, "model.init_args." + key[len("model."):], _parse_scalar(val))
+        elif key.startswith(("trainer.", "data.", "seed_everything")):
+            _deep_set(raw, key, _parse_scalar(val))
+        elif key == "ckpt_path":
+            raw["ckpt_path"] = val
+        else:
+            _deep_set(raw, key, _parse_scalar(val))
+    return raw
+
+
+def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerConfig:
+    known = dict(
+        max_epochs=traw.get("max_epochs", 12),
+        check_val_every_n_epoch=traw.get("check_val_every_n_epoch", 1),
+        log_every_n_steps=traw.get("log_every_n_steps", 400),
+        gradient_clip_val=traw.get("gradient_clip_val", 5.0),
+        precision=str(traw.get("precision", "32")),
+        seed=seed,
+        devices=(None if traw.get("devices") in (None, "auto") else int(traw["devices"])),
+    )
+    # Lightning logger/callback blocks: pull what matters, ignore the rest.
+    for lg in traw.get("logger", []) or []:
+        if isinstance(lg, dict) and "CSVLogger" in str(lg.get("class_path", "")):
+            save_dir = lg.get("init_args", {}).get("save_dir", save_dir)
+    ckpt_every = 1
+    for cb in traw.get("callbacks", []) or []:
+        if isinstance(cb, dict) and "ModelCheckpoint" in str(cb.get("class_path", "")):
+            ckpt_every = cb.get("init_args", {}).get("every_n_epochs", 1)
+    ignored = set(traw) - {
+        "max_epochs", "check_val_every_n_epoch", "log_every_n_steps",
+        "gradient_clip_val", "gradient_clip_algorithm", "precision", "devices",
+        "logger", "callbacks", "benchmark",
+    }
+    if ignored:
+        logger.info(f"ignoring trainer keys: {sorted(ignored)}")
+    return TrainerConfig(
+        save_dir=save_dir or "./logs/default",
+        ckpt_every_n_epochs=ckpt_every,
+        **known,
+    )
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> ExperimentConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if overrides:
+        raw = apply_overrides(raw, list(overrides))
+
+    seed = int(raw.get("seed_everything", 42))
+    model = raw.get("model", {})
+    class_path = model.get("class_path", "heatmap")
+    if class_path not in CLASS_PATH_TO_TASK:
+        raise ValueError(f"unknown model class_path {class_path!r}")
+    task_name = CLASS_PATH_TO_TASK[class_path]
+    init_args = dict(model.get("init_args", {}))
+    trainer = _trainer_config(dict(raw.get("trainer", {}) or {}), None, seed)
+    cfg = ExperimentConfig(
+        task_name=task_name, init_args=init_args, trainer=trainer, seed=seed
+    )
+    if raw.get("ckpt_path"):
+        cfg.init_args["ckpt_path"] = raw["ckpt_path"]
+    return cfg

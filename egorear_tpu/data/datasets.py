@@ -101,6 +101,7 @@ class _Ego4ViewBase:
         image_size: int = 256,
         pre_shuffle: bool = False,
         render_missing_heatmaps: bool = False,
+        use_native_loader: bool = True,
         **unused_kwargs,
     ):
         self.data_root = data_root
@@ -112,6 +113,23 @@ class _Ego4ViewBase:
         self.json_dir = "json_smplx_gendered" if variant == "syn" else "json_smplx"
         self.img_ext = ".jpg" if variant == "syn" else ".png"
         self.frames = self._collect(info_json, pre_shuffle)
+        # C++ decode+resize+normalize pipeline (<=1 LSB vs PIL); falls back
+        # to PIL when the shared object is unavailable.
+        self._native = None
+        if use_native_loader:
+            try:
+                from egorear_tpu import native
+
+                if native.available():
+                    self._native = native
+            except Exception:
+                self._native = None
+
+    def _load_images(self, paths) -> np.ndarray:
+        """-> (len(paths), 3, S, S) normalized float32."""
+        if self._native is not None:
+            return self._native.load_f32_batch(list(paths), self.image_size)
+        return np.stack([load_image(p, self.image_size) for p in paths])
 
     def _collect(self, info_json: str, pre_shuffle: bool) -> List[str]:
         lines = self._split_lines(info_json)
@@ -154,8 +172,8 @@ class _Ego4ViewBase:
         )
 
     def _load_views(self, frame: str):
-        imgs = np.stack(
-            [load_image(self._img_path(frame, c), self.image_size) for c in self.cameras]
+        imgs = self._load_images(
+            [self._img_path(frame, c) for c in self.cameras]
         )  # (V, 3, S, S)
         hms = []
         json_cache = None
@@ -229,7 +247,7 @@ class HeatmapDataset(_Ego4ViewBase):
 
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         frame, camera = self.items[idx]
-        img = load_image(self._img_path(frame, camera), self.image_size)
+        img = self._load_images([self._img_path(frame, camera)])[0]
         p = self._hm_path(frame, camera)
         if os.path.exists(p):
             hm = np.load(p)

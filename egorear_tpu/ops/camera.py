@@ -109,8 +109,23 @@ class CameraRig:
         {"", _stereo_front, _stereo_back}.
         """
         calib_path = calib_path or default_calib_path()
-        with open(calib_path) as f:
-            rig_data = json.load(f)["cameras"]
+        if os.path.isdir(calib_path):
+            # Reference layout: a directory of per-camera JSONs with keys
+            # size / image_center / polynomialC2W / polynomialW2C
+            # (configs `camera_calib_file_dir_path`, camera_models.py:20-27).
+            rig_data = {}
+            for name in CAMERA_ORDER:
+                with open(os.path.join(calib_path, f"{name}.json")) as f:
+                    d = json.load(f)
+                rig_data[name] = {
+                    "image_size_hw": d["size"],
+                    "center_xy": d["image_center"],
+                    "poly_cam2world": d["polynomialC2W"],
+                    "poly_world2cam": d["polynomialW2C"],
+                }
+        else:
+            with open(calib_path) as f:
+                rig_data = json.load(f)["cameras"]
 
         suffix = ""
         for s in ("_stereo_front", "_stereo_back"):

@@ -1,0 +1,268 @@
+"""Task definitions: model + loss + eval metrics for the three training
+stages. Functional equivalents of the reference LightningModules
+(pl_wrappers/egoposeformer/{heatmap,heatmap_mvf_ex,pose_3d_mvf_ex}.py): each
+task owns its network, loss weighting, metric suite, dataset type and
+pretrained-checkpoint grafts; the generic loop lives in
+:mod:`egorear_tpu.train.trainer`.
+
+Metric names match the reference logging streams (``{mode}/{prefix}_{name}``,
+e.g. ``test/final_mpjpe``, ``val/proposal_pa_mpjpe`` --
+pose_3d_mvf_ex.py:199-208, 327-332; heatmap.py:248-253;
+heatmap_mvf_ex.py:158-183).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from egorear_tpu.models.configs import EgoRearNetCfg, MVFexNetCfg
+from egorear_tpu.models.heatmap_net import HeatmapNet
+from egorear_tpu.models.mvfex import HeatmapMVFexNet
+from egorear_tpu.models.pose3d import EgoRearNet
+from egorear_tpu.ops.camera import CameraRig
+from egorear_tpu.ops.heatmap import argmax_2d
+from egorear_tpu.ops.metrics import (
+    auc_3d,
+    mpjpe,
+    mpjpe_loss,
+    pck_3d,
+    procrustes_align,
+)
+
+CM2MM = 10.0
+
+
+def _per_view_mse_sum(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """sum over views of mean-MSE per view (reference heatmap.py:103-105)."""
+    V = pred.shape[1]
+    return sum(((pred[:, i] - gt[:, i]) ** 2).mean() for i in range(V))
+
+
+def heatmap_eval_metrics(pred_hm, gt_hm, prefix: str) -> Dict[str, jnp.ndarray]:
+    """Stage-1/2 heatmap metric suite (reference heatmap.py:220-254).
+
+    All values are per-sample (B,) vectors so the trainer can pad/mask the
+    final partial batch exactly and average on the host.
+    """
+    B, V = pred_hm.shape[:2]
+    p = pred_hm.reshape(B, V, -1)
+    g = gt_hm.reshape(B, V, -1)
+
+    l1 = jnp.abs(p - g).sum(axis=(1, 2))  # (B,)
+    pos = (g > 0).astype(p.dtype)
+    pos_l1 = (jnp.abs(p - g) * pos).sum(axis=(1, 2))  # (B,)
+    mse = ((pred_hm - gt_hm) ** 2).mean(axis=(1, 2, 3, 4))  # (B,)
+
+    pred_pts, _, _ = argmax_2d(pred_hm, threshold=1.0, normalize=False)
+    gt_pts, _, gt_valid = argmax_2d(gt_hm, threshold=1.0, normalize=False)
+    m = gt_valid[..., None].astype(pred_pts.dtype)
+    mse_pts2d = ((pred_pts * m - gt_pts * m) ** 2).mean(axis=(1, 2, 3))  # (B,)
+
+    return {
+        f"{prefix}_l1_error_heatmap": l1,
+        f"{prefix}_pos_l1_error_heatmap": pos_l1,
+        f"{prefix}_mse_heatmap": mse,
+        f"{prefix}_mse_pts2d": mse_pts2d,
+    }
+
+
+def pose_eval_metrics(pred, gt, prefix: str) -> Dict[str, jnp.ndarray]:
+    """MPJPE / PA-MPJPE / PCK3D / AUC3D, cm -> mm (pose_3d_mvf_ex.py:317-333)."""
+    aligned = procrustes_align(pred, gt)
+    return {
+        f"{prefix}_mpjpe": mpjpe(pred, gt) * CM2MM,
+        f"{prefix}_pa_mpjpe": mpjpe(aligned, gt) * CM2MM,
+        f"{prefix}_pck_3d": pck_3d(pred * CM2MM, gt * CM2MM) * 100.0,
+        f"{prefix}_auc_3d": auc_3d(pred * CM2MM, gt * CM2MM) * 100.0,
+    }
+
+
+class HeatmapTask:
+    """Stage 1: per-view heatmap regression (PoseHeatmapLightningModel)."""
+
+    name = "heatmap"
+
+    def __init__(self, model_cfg: dict, w_heatmap: float = 10.0, **_):
+        enc = model_cfg.get("encoder_cfg", {})
+        from egorear_tpu.models.configs import EncoderCfg
+
+        ec = EncoderCfg.from_dict(enc)
+        self.model = HeatmapNet(
+            num_heatmap=model_cfg.get("num_heatmap", 15),
+            out_stride=ec.out_stride,
+            fpn_channels=ec.fpn_channels,
+        )
+        self.w_heatmap = w_heatmap
+
+    def init(self, rng, batch):
+        return self.model.init(rng, batch["img"], train=False)
+
+    def loss(self, params, extra_vars, batch, train: bool = True):
+        outs, mutated = self.model.apply(
+            {"params": params, **extra_vars},
+            batch["img"],
+            train=train,
+            mutable=["batch_stats"] if train else [],
+        )
+        pred = outs
+        loss = _per_view_mse_sum(pred, batch["gt_heatmap"]) * self.w_heatmap
+        return loss, ({"heatmap_loss": loss}, mutated)
+
+    def eval_metrics(self, variables, batch, test_mode: bool = False):
+        del test_mode
+        pred = self.model.apply(variables, batch["img"], train=False)
+        return heatmap_eval_metrics(pred, batch["gt_heatmap"], "proposal")
+
+
+class MVFexTask:
+    """Stage 2: MVFex refinement with deep supervision
+    (PoseHeatmapMVFEXLightningModel)."""
+
+    name = "heatmap_mvf_ex"
+
+    def __init__(self, model_cfg: dict, w_heatmap: float = 10.0, **_):
+        self.cfg = MVFexNetCfg.from_dict(model_cfg)
+        self.model = HeatmapMVFexNet(cfg=self.cfg)
+        self.w_heatmap = w_heatmap
+
+    def init(self, rng, batch):
+        return self.model.init(rng, batch["img"], train=False)
+
+    def loss(self, params, extra_vars, batch, train: bool = True):
+        (hms, _), mutated = self.model.apply(
+            {"params": params, **extra_vars},
+            batch["img"],
+            train=train,
+            mutable=["batch_stats"] if train else [],
+        )
+        gt = batch["gt_heatmap"]
+        metrics = {}
+        total = 0.0
+        # Deep supervision over init + every refined stage (:117-126).
+        for i, hm in enumerate(hms):
+            li = _per_view_mse_sum(hm, gt) * self.w_heatmap
+            metrics[f"heatmap_loss_{i}"] = li
+            total = total + li
+        metrics["loss_total"] = total
+        return total, (metrics, mutated)
+
+    def eval_metrics(self, variables, batch, test_mode: bool = False):
+        hms, _ = self.model.apply(variables, batch["img"], train=False)
+        gt = batch["gt_heatmap"]
+        V = gt.shape[1]
+        out = {}
+        out.update(
+            heatmap_eval_metrics(hms[0][:, 0:2], gt[:, 0:2], "proposal_stereo_front")
+        )
+        out.update(
+            heatmap_eval_metrics(hms[-1][:, 0:2], gt[:, 0:2], "final_stereo_front")
+        )
+        if V >= 3:
+            out.update(
+                heatmap_eval_metrics(hms[0][:, 2:], gt[:, 2:], "proposal_stereo_back")
+            )
+            out.update(
+                heatmap_eval_metrics(hms[-1][:, 2:], gt[:, 2:], "final_stereo_back")
+            )
+        if test_mode:
+            for i, hm in enumerate(hms[1:-1]):
+                out.update(
+                    heatmap_eval_metrics(
+                        hm[:, 0:2], gt[:, 0:2], f"mid_{i}_stereo_front"
+                    )
+                )
+                if V >= 3:
+                    out.update(
+                        heatmap_eval_metrics(
+                            hm[:, 2:], gt[:, 2:], f"mid_{i}_stereo_back"
+                        )
+                    )
+        return out
+
+
+class Pose3DTask:
+    """Stage 3: full cascade with 3D supervision (Pose3DMVFEXLightningModel)."""
+
+    name = "pose_3d_mvf_ex"
+
+    def __init__(
+        self,
+        model_cfg: dict,
+        w_mpjpe: float = 0.1,
+        w_heatmap: float = 10.0,
+        dataset_type: str = "ego4view_syn_pose3d",
+        camera_calib_path: Optional[str] = None,
+        chained_cameras: bool = True,
+        **_,
+    ):
+        self.cfg = EgoRearNetCfg.from_dict(model_cfg)
+        self.model = EgoRearNet(cfg=self.cfg)
+        self.w_mpjpe = w_mpjpe
+        self.w_heatmap = w_heatmap
+        self.is_rw = dataset_type.startswith("ego4view_rw")
+        # Resolve the calibration source: explicit arg > the reference
+        # config's camera_calib_file_dir_path (if it exists on disk) > the
+        # bundled rig file.
+        import os
+
+        if camera_calib_path is None:
+            ref_dir = (model_cfg.get("pose3d_cfg") or {}).get(
+                "camera_calib_file_dir_path"
+            )
+            if ref_dir and os.path.exists(ref_dir):
+                camera_calib_path = ref_dir
+        self.rig = CameraRig.from_calib_file(
+            self.cfg.camera_model, camera_calib_path, chained=chained_cameras
+        )
+
+    def _ctm(self, batch):
+        return batch.get("coord_trans_mat") if self.is_rw else None
+
+    def init(self, rng, batch):
+        return self.model.init(
+            rng, batch["img"], self.rig, self._ctm(batch), train=False
+        )
+
+    def loss(self, params, extra_vars, batch, train: bool = True):
+        (preds3d, hms), mutated = self.model.apply(
+            {"params": params, **extra_vars},
+            batch["img"],
+            self.rig,
+            self._ctm(batch),
+            train=train,
+            mutable=["batch_stats"] if train else [],
+        )
+        gt_pose = batch["gt_pose"]
+        gt_hm = batch["gt_heatmap"]
+        metrics = {}
+        total = 0.0
+        for i, p in enumerate(preds3d):
+            li = mpjpe_loss(p, gt_pose) * self.w_mpjpe
+            metrics[f"mpjpe_loss_{i}"] = li
+            total = total + li
+        for i, hm in enumerate(hms):
+            li = _per_view_mse_sum(hm, gt_hm) * self.w_heatmap
+            metrics[f"heatmap_loss_{i}"] = li
+            total = total + li
+        metrics["loss_total"] = total
+        return total, (metrics, mutated)
+
+    def eval_metrics(self, variables, batch, test_mode: bool = False):
+        preds3d, _ = self.model.apply(
+            variables, batch["img"], self.rig, self._ctm(batch), train=False
+        )
+        gt = batch["gt_pose"].astype(jnp.float32)
+        out = {}
+        out.update(pose_eval_metrics(preds3d[-1], gt, "final"))
+        out.update(pose_eval_metrics(preds3d[0], gt, "proposal"))
+        return out
+
+
+TASKS = {
+    "heatmap": HeatmapTask,
+    "heatmap_mvf_ex": MVFexTask,
+    "pose_3d_mvf_ex": Pose3DTask,
+}

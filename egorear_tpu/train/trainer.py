@@ -1,0 +1,319 @@
+"""Generic jit-compiled training/eval loop over a data-parallel device mesh.
+
+Replaces the reference's PyTorch-Lightning machinery (trainer loop, DDP
+strategy, CSVLogger, ModelCheckpoint -- configs/*.yaml trainer section):
+  * ONE jitted train step (loss + grad + optax update), donated state,
+    batch sharded over a 1-D ``Mesh(('data',))``; gradient psums are implicit
+    in the sharded jit (the NCCL-allreduce equivalent of Lightning DDP).
+  * epoch loop with MultiStep+warmup schedule, global-norm clipping,
+    validation every ``check_val_every_n_epoch``, per-epoch orbax checkpoints.
+  * CSV metric streams compatible with Lightning's CSVLogger layout
+    (``<save_dir>/lightning_logs/version_N/metrics.csv``).
+
+The reference divides per-process batch size under DDP
+(pl_wrappers/egoposeformer/heatmap.py:159-162); here batches are global and
+sharded, which is the same global semantics without the bookkeeping.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from egorear_tpu.data.loader import DataLoader
+from egorear_tpu.train import checkpoint as ckpt_lib
+from egorear_tpu.train.optim import make_optimizer
+from egorear_tpu.utils.logging import get_logger
+
+logger = get_logger("trainer")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 12
+    check_val_every_n_epoch: int = 1
+    log_every_n_steps: int = 400
+    gradient_clip_val: Optional[float] = 5.0
+    precision: str = "32"
+    seed: int = 42
+    save_dir: str = "./logs/default"
+    ckpt_every_n_epochs: int = 1
+    devices: Optional[int] = None  # None = all
+
+
+class CSVLogger:
+    """Lightning-CSVLogger-compatible metric sink."""
+
+    def __init__(self, save_dir: str):
+        base = os.path.join(save_dir, "lightning_logs")
+        os.makedirs(base, exist_ok=True)
+        n = 0
+        while os.path.exists(os.path.join(base, f"version_{n}")):
+            n += 1
+        self.dir = os.path.join(base, f"version_{n}")
+        os.makedirs(self.dir, exist_ok=True)
+        self.path = os.path.join(self.dir, "metrics.csv")
+        self._fieldnames = ["epoch", "step"]
+        self._rows = []
+
+    def log(self, metrics: Dict[str, float], step: int, epoch: int):
+        row = {"epoch": epoch, "step": step}
+        row.update({k: float(v) for k, v in metrics.items()})
+        for k in row:
+            if k not in self._fieldnames:
+                self._fieldnames.append(k)
+        self._rows.append(row)
+        self._flush()
+
+    def _flush(self):
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames)
+            w.writeheader()
+            w.writerows(self._rows)
+
+
+def _array_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        trainer_cfg: TrainerConfig,
+        lr: float,
+        weight_decay: float,
+        lr_decay_epochs,
+        warmup_iters: int,
+        batch_size: int,
+        workers: int = 8,
+        no_decay_mask: bool = False,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.task = task
+        self.cfg = trainer_cfg
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self.lr_decay_epochs = tuple(lr_decay_epochs or ())
+        self.warmup_iters = warmup_iters
+        self.batch_size = batch_size
+        self.workers = workers
+        self.no_decay_mask = no_decay_mask
+
+        devices = jax.devices()
+        if trainer_cfg.devices:
+            devices = devices[: trainer_cfg.devices]
+        # The data axis must divide the global batch.
+        import math
+
+        n = math.gcd(len(devices), batch_size) if batch_size else len(devices)
+        devices = devices[:n]
+        self.mesh = mesh or Mesh(np.array(devices), ("data",))
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        self.logger = None
+        self.state = None  # dict: params, extra_vars, opt_state, step
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: dict, steps_per_epoch: int, rng_seed=None):
+        seed = self.cfg.seed if rng_seed is None else rng_seed
+        rng = jax.random.PRNGKey(seed)
+        batch = _array_batch(sample_batch)
+        variables = jax.jit(lambda: self.task.init(rng, batch))()
+        params = variables["params"]
+        extra_vars = {k: v for k, v in variables.items() if k != "params"}
+
+        self.tx, self.lr_schedule = make_optimizer(
+            self.lr,
+            self.weight_decay,
+            self.warmup_iters,
+            self.lr_decay_epochs,
+            steps_per_epoch,
+            grad_clip_norm=self.cfg.gradient_clip_val,
+            no_decay_mask=self.no_decay_mask,
+            params=params,
+        )
+        opt_state = self.tx.init(params)
+        state = {
+            "params": params,
+            "extra_vars": extra_vars,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self.state = jax.device_put(state, self.replicated)
+        self._build_steps()
+        return self.state
+
+    def load_state_params(self, params, extra_vars=None):
+        assert self.state is not None
+        self.state["params"] = jax.device_put(params, self.replicated)
+        if extra_vars is not None:
+            self.state["extra_vars"] = jax.device_put(extra_vars, self.replicated)
+
+    def _build_steps(self):
+        task = self.task
+
+        def train_step(state, batch):
+            def loss_fn(params):
+                loss, (metrics, mutated) = task.loss(
+                    params, state["extra_vars"], batch, train=True
+                )
+                return loss, (metrics, mutated)
+
+            grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+            updates, opt_state = self.tx.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = jax.tree.map(
+                lambda p, u: p + u, state["params"], updates
+            )
+            extra_vars = dict(state["extra_vars"])
+            extra_vars.update(mutated)
+            new_state = {
+                "params": params,
+                "extra_vars": extra_vars,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            metrics["lr"] = self.lr_schedule(state["step"])
+            return new_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def eval_step(state, batch, test_mode):
+            variables = {"params": state["params"], **state["extra_vars"]}
+            return task.eval_metrics(variables, batch, test_mode=test_mode)
+
+        self._eval_step = jax.jit(eval_step, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def fit(self, train_dataset, val_dataset=None, resume_dir=None):
+        cfg = self.cfg
+        self.logger = self.logger or CSVLogger(cfg.save_dir)
+        loader = DataLoader(
+            train_dataset,
+            self.batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=self.workers,
+            seed=cfg.seed,
+            sharding=self.batch_sharding,
+        )
+        steps_per_epoch = len(loader)
+        if steps_per_epoch == 0:
+            raise ValueError("train dataset smaller than one batch")
+
+        if self.state is None:
+            first = next(iter(loader))
+            self.init_state(first, steps_per_epoch)
+
+        start_epoch = 0
+        if resume_dir:
+            restored, epoch0 = ckpt_lib.restore_latest(resume_dir, self.state)
+            if restored is not None:
+                self.state = restored
+                start_epoch = epoch0 + 1
+                logger.info(f"resumed from epoch {epoch0}")
+
+        step = int(jax.device_get(self.state["step"]))
+        for epoch in range(start_epoch, cfg.max_epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            running = {}
+            for batch in loader:
+                self.state, metrics = self._train_step(
+                    self.state, _array_batch(batch)
+                )
+                step += 1
+                if step % cfg.log_every_n_steps == 0:
+                    metrics = jax.device_get(metrics)
+                    self.logger.log(
+                        {f"train/{k}": v for k, v in metrics.items()}, step, epoch
+                    )
+                    logger.info(
+                        f"epoch {epoch} step {step}: "
+                        + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+                    )
+                running = metrics
+            dt = time.time() - t0
+            logger.info(
+                f"epoch {epoch} done in {dt:.1f}s "
+                f"({steps_per_epoch / max(dt, 1e-9):.2f} it/s)"
+            )
+            if running:
+                running = jax.device_get(running)
+                self.logger.log(
+                    {f"train/{k}": v for k, v in running.items()}, step, epoch
+                )
+
+            if val_dataset is not None and (
+                (epoch + 1) % cfg.check_val_every_n_epoch == 0
+            ):
+                val_metrics = self.evaluate(val_dataset, mode="val")
+                self.logger.log(val_metrics, step, epoch)
+                logger.info(
+                    f"epoch {epoch} val: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in list(val_metrics.items())[:8])
+                )
+
+            if (epoch + 1) % cfg.ckpt_every_n_epochs == 0 or epoch == cfg.max_epochs - 1:
+                ckpt_lib.save(
+                    os.path.join(self.logger.dir, "checkpoints"), epoch, self.state
+                )
+        return self.state
+
+    def evaluate(self, dataset, mode: str = "test") -> Dict[str, float]:
+        """Padded-batch eval; per-sample metrics averaged over the dataset."""
+        loader = DataLoader(
+            dataset,
+            self.batch_size,
+            shuffle=False,
+            drop_last=False,
+            num_workers=self.workers,
+            sharding=None,
+            device_put=False,
+        )
+        if self.state is None:
+            first = next(iter(loader))
+            self.init_state(first, steps_per_epoch=1)
+
+        sums: Dict[str, float] = {}
+        count = 0
+        test_mode = mode == "test"
+        for batch in loader:
+            batch = _array_batch(batch)
+            n = next(iter(batch.values())).shape[0]
+            if n < self.batch_size:  # pad final partial batch
+                batch = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], self.batch_size - n, axis=0)]
+                    )
+                    for k, v in batch.items()
+                }
+            batch = jax.device_put(batch, self.batch_sharding)
+            metrics = jax.device_get(
+                self._eval_step(self.state, batch, test_mode)
+            )
+            for k, v in metrics.items():
+                v = np.asarray(v)
+                if v.ndim == 0:  # scalar: weight by true n
+                    sums[k] = sums.get(k, 0.0) + float(v) * n
+                else:
+                    sums[k] = sums.get(k, 0.0) + float(v[:n].sum())
+            count += n
+        return {f"{mode}/{k}": v / max(count, 1) for k, v in sums.items()}

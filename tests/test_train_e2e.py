@@ -1,0 +1,246 @@
+"""End-to-end training-system tests on a synthetic dataset (CPU, 8 virtual
+devices): fit a couple of epochs per stage, check the loss decreases and the
+metric/checkpoint plumbing works; exercise the staged-pretraining grafts and
+the CLI entry point with a reference-format YAML config."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from egorear_tpu.data.datasets import get_dataset
+from egorear_tpu.data.synthetic import make_synthetic_dataset
+from egorear_tpu.train import checkpoint as ckpt_lib
+from egorear_tpu.train.tasks import HeatmapTask, MVFexTask, Pose3DTask
+from egorear_tpu.train.trainer import Trainer, TrainerConfig
+
+IMG = 64
+
+ENCODER_CFG = {
+    "resnet_cfg": {"model_name": "resnet18", "out_stride": 4,
+                   "use_imagenet_pretrain": False},
+    "neck_cfg": {"in_channels": [64, 128, 256, 512], "out_channels": 128},
+}
+MVF_CFG = {
+    "input_dims": 128, "embed_dims": 256, "num_former_layers": 1,
+    "joint_query_adaptation": True, "use_1by1_conv": True,
+    "mvf_transformer_cfg": {
+        "cross_attn_cfg": {"num_heads": 4},
+        "spatial_attn_cfg": {"num_heads": 4},
+        "ffn_cfg": {"feedforward_dims": 512, "num_fcs": 2, "ffn_drop": 0.0},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def syn_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ego4view_syn_e2e")
+    return make_synthetic_dataset(
+        str(root), "syn", num_chars=1, num_seqs=1, frames_per_seq=8,
+        image_size=IMG, write_heatmaps=True,
+    )
+
+
+def _trainer_cfg(tmp_path, epochs=2):
+    return TrainerConfig(
+        max_epochs=epochs, check_val_every_n_epoch=1, log_every_n_steps=1,
+        gradient_clip_val=5.0, seed=0, save_dir=str(tmp_path / "logs"),
+    )
+
+
+def test_heatmap_fit_loss_decreases(syn_root, tmp_path):
+    task = HeatmapTask(model_cfg={"num_heatmap": 15, "encoder_cfg": ENCODER_CFG},
+                       w_heatmap=10.0)
+    trainer = Trainer(task, _trainer_cfg(tmp_path, epochs=3), lr=1e-3,
+                      weight_decay=5e-3, lr_decay_epochs=(8, 10),
+                      warmup_iters=2, batch_size=8, workers=2)
+    train_ds = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "train",
+                           camera_pos="all")
+    val_ds = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "validation",
+                         camera_pos="all")
+    trainer.fit(train_ds, val_ds)
+
+    # Loss decreased over training.
+    import csv
+
+    with open(trainer.logger.path) as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r["train/heatmap_loss"]) for r in rows
+              if r.get("train/heatmap_loss")]
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0], losses
+
+    # Checkpoints saved per epoch; eval runs on the test split.
+    ckpt_dir = os.path.join(trainer.logger.dir, "checkpoints")
+    restored, epoch = ckpt_lib.restore_latest(ckpt_dir, trainer.state)
+    assert epoch == 2
+    test_ds = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "test",
+                          camera_pos="all")
+    metrics = trainer.evaluate(test_ds, mode="test")
+    assert "test/proposal_mse_heatmap" in metrics
+    assert np.isfinite(list(metrics.values())).all()
+
+
+def test_mvfex_fit_with_graft(syn_root, tmp_path):
+    # Stage 1 front/back pretrained checkpoints.
+    stage1 = HeatmapTask(model_cfg={"num_heatmap": 15, "encoder_cfg": ENCODER_CFG})
+    t1 = Trainer(stage1, _trainer_cfg(tmp_path / "s1", epochs=1), lr=1e-3,
+                 weight_decay=5e-3, lr_decay_epochs=(), warmup_iters=1,
+                 batch_size=8, workers=2)
+    train1 = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "train",
+                         camera_pos="front")
+    t1.fit(train1)
+    s1_path = os.path.join(t1.logger.dir, "checkpoints", "epoch=0")
+
+    # Stage 2 with the stage-1 weights grafted into the front estimator.
+    task = MVFexTask(
+        model_cfg={
+            "num_views": 4, "image_size": [256, 256], "num_heatmap": 15,
+            "feat_down_stride": 4, "heatmap_threshold": 0.5,
+            "camera_model": "ego4view_syn",
+            "encoder_cfg": ENCODER_CFG, "mvf_cfg": MVF_CFG,
+        },
+    )
+    t2 = Trainer(task, _trainer_cfg(tmp_path / "s2", epochs=1), lr=1e-3,
+                 weight_decay=5e-3, lr_decay_epochs=(), warmup_iters=1,
+                 batch_size=4, workers=2)
+    train2 = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "train",
+                         camera_pos="all")
+    sample = {k: np.stack([train2[i][k] for i in range(4)])
+              for k in ("img", "gt_heatmap")}
+    t2.init_state(sample, steps_per_epoch=2)
+
+    loaded = ckpt_lib.load_pretrained(s1_path, {
+        "params": t2.state["params"]["heatmap_estimator_stereo_front"],
+        "batch_stats": t2.state["extra_vars"]["batch_stats"][
+            "heatmap_estimator_stereo_front"],
+    }, "heatmap")
+    params = ckpt_lib.graft(
+        t2.state["params"], "heatmap_estimator_stereo_front", loaded["params"]
+    )
+    stats = ckpt_lib.graft(
+        t2.state["extra_vars"]["batch_stats"],
+        "heatmap_estimator_stereo_front", loaded["batch_stats"],
+    )
+    # Grafted leaves actually equal the stage-1 checkpoint's.
+    import jax
+
+    s1_leaf = jax.tree.leaves(loaded["params"])[0]
+    new_leaf = jax.tree.leaves(params["heatmap_estimator_stereo_front"])[0]
+    np.testing.assert_array_equal(np.asarray(s1_leaf), np.asarray(new_leaf))
+
+    t2.load_state_params(params, {"batch_stats": stats})
+    t2.fit(train2)
+    metrics = t2.evaluate(
+        get_dataset("ego4view_syn_heatmap_mvf", syn_root, "test",
+                    camera_pos="all"),
+        mode="test",
+    )
+    assert "test/final_stereo_front_mse_heatmap" in metrics
+    assert "test/proposal_stereo_back_mse_heatmap" in metrics
+
+
+def test_pose3d_fit_smoke(syn_root, tmp_path):
+    task = Pose3DTask(
+        model_cfg={
+            "num_views": 4, "image_size": [256, 256],
+            "camera_model": "ego4view_syn",
+            "pose3d_cfg": {
+                "num_joints": 16, "input_dims": 128, "embed_dims": 128,
+                "mlp_dims": 256, "mlp_dropout": 0.0, "num_mlp_layers": 2,
+                "num_former_layers": 2, "num_pred_mlp_layers": 2,
+                "feat_down_stride": 4,
+                "transformer_cfg": MVF_CFG["mvf_transformer_cfg"],
+            },
+            "heatmap_mvf_cfg": {
+                "num_heatmap": 15, "feat_down_stride": 4,
+                "heatmap_threshold": 0.5, "full_training": True,
+                "detach_heatmap_feat": True, "detach_heatmap_feat_init": True,
+                "use_pred_heatmap_init": True,
+                "encoder_cfg": ENCODER_CFG, "mvf_cfg": MVF_CFG,
+            },
+        },
+        dataset_type="ego4view_syn_pose3d",
+    )
+    trainer = Trainer(task, _trainer_cfg(tmp_path, epochs=1), lr=1e-3,
+                      weight_decay=5e-4, lr_decay_epochs=(), warmup_iters=2,
+                      batch_size=4, workers=2, no_decay_mask=True)
+    train_ds = get_dataset("ego4view_syn_pose3d", syn_root, "train",
+                           camera_pos="all")
+    trainer.fit(train_ds)
+    metrics = trainer.evaluate(
+        get_dataset("ego4view_syn_pose3d", syn_root, "test", camera_pos="all"),
+        mode="test",
+    )
+    for k in ("test/final_mpjpe", "test/final_pa_mpjpe", "test/final_pck_3d",
+              "test/final_auc_3d", "test/proposal_mpjpe"):
+        assert k in metrics and np.isfinite(metrics[k]), (k, metrics.get(k))
+    # PA-MPJPE <= MPJPE by construction.
+    assert metrics["test/final_pa_mpjpe"] <= metrics["test/final_mpjpe"] + 1e-3
+
+
+def test_cli_fit_and_test(syn_root, tmp_path):
+    """Drive run.py with a reference-format YAML (class_path/init_args)."""
+    cfg = {
+        "seed_everything": 42,
+        "model": {
+            "class_path": (
+                "pose_estimation.pl_wrappers.egoposeformer.PoseHeatmapLightningModel"
+            ),
+            "init_args": {
+                "model_cfg": {"num_heatmap": 15, "encoder_cfg": ENCODER_CFG},
+                "dataset_type": "ego4view_syn_heatmap_mvf",
+                "dataset_kwargs": {"camera_pos": "front"},
+                "data_root": syn_root,
+                "lr": 0.001, "weight_decay": 0.005,
+                "lr_decay_epochs": [8, 10], "warmup_iters": 2,
+                "w_heatmap": 10.0, "batch_size": 4, "workers": 2,
+                "compile": True, "compile_mode": "default",
+                "save_result": False,
+            },
+        },
+        "trainer": {
+            "max_epochs": 1, "check_val_every_n_epoch": 1,
+            "log_every_n_steps": 1, "devices": 1, "benchmark": True,
+            "precision": 32, "gradient_clip_val": 5.0,
+            "gradient_clip_algorithm": "norm",
+            "logger": [{
+                "class_path": "pytorch_lightning.loggers.CSVLogger",
+                "init_args": {"save_dir": str(tmp_path / "cli_logs")},
+            }],
+        },
+    }
+    import yaml
+
+    cfg_path = tmp_path / "exp.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ, EGOREAR_PLATFORM="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+                   + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    fit = subprocess.run(
+        [sys.executable, os.path.join(repo, "run.py"), "fit",
+         "--config", str(cfg_path), "--model.batch_size", "8"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert fit.returncode == 0, fit.stderr[-3000:]
+
+    log_dir = tmp_path / "cli_logs" / "lightning_logs" / "version_0"
+    assert (log_dir / "metrics.csv").exists()
+    ckpt = log_dir / "checkpoints" / "epoch=0"
+
+    test = subprocess.run(
+        [sys.executable, os.path.join(repo, "run.py"), "test",
+         "--config", str(cfg_path), "--ckpt_path", str(ckpt),
+         "--model.batch_size", "4"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert test.returncode == 0, test.stderr[-3000:]
+    metrics = json.loads(test.stdout[test.stdout.index("{"):])
+    assert "test/proposal_mse_heatmap" in metrics
