@@ -47,6 +47,10 @@ class TrainerConfig:
     save_dir: str = "./logs/default"
     ckpt_every_n_epochs: int = 1
     devices: Optional[int] = None  # None = all
+    # Auxiliary subsystems (SURVEY.md section 5):
+    profile_steps: int = 0  # capture a jax.profiler trace for N train steps
+    debug_nans: bool = False  # per-step non-finite loss detection
+    auto_resume: bool = False  # restore the latest checkpoint in save_dir
 
 
 class CSVLogger:
@@ -223,12 +227,28 @@ class Trainer:
             self.init_state(first, steps_per_epoch)
 
         start_epoch = 0
+        if resume_dir is None and cfg.auto_resume:
+            # Failure recovery: pick up the newest checkpoint under save_dir
+            # (the elastic-resume mechanism the reference lacks; SURVEY 5).
+            import glob as _glob
+
+            candidates = sorted(
+                _glob.glob(os.path.join(cfg.save_dir, "lightning_logs",
+                                        "version_*", "checkpoints"))
+            )
+            resume_dir = candidates[-1] if candidates else None
         if resume_dir:
             restored, epoch0 = ckpt_lib.restore_latest(resume_dir, self.state)
             if restored is not None:
                 self.state = restored
                 start_epoch = epoch0 + 1
                 logger.info(f"resumed from epoch {epoch0}")
+
+        profile_left = cfg.profile_steps
+        if profile_left:
+            profile_dir = os.path.join(self.logger.dir, "profile")
+            jax.profiler.start_trace(profile_dir)
+            logger.info(f"profiling {profile_left} steps -> {profile_dir}")
 
         step = int(jax.device_get(self.state["step"]))
         for epoch in range(start_epoch, cfg.max_epochs):
@@ -240,6 +260,22 @@ class Trainer:
                     self.state, _array_batch(batch)
                 )
                 step += 1
+                if profile_left:
+                    jax.block_until_ready(metrics)
+                    profile_left -= 1
+                    if profile_left == 0:
+                        jax.profiler.stop_trace()
+                        logger.info("profiler trace captured")
+                if cfg.debug_nans:
+                    first_loss = next(iter(metrics.values()))
+                    if not bool(jnp.isfinite(first_loss)):
+                        ckpt_lib.save(
+                            os.path.join(self.logger.dir, "checkpoints-nan"),
+                            epoch, self.state,
+                        )
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step}; state saved"
+                        )
                 if step % cfg.log_every_n_steps == 0:
                     metrics = jax.device_get(metrics)
                     self.logger.log(
