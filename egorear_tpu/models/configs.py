@@ -101,6 +101,7 @@ class MVFCfg:
     joint_query_adaptation_multi_view: bool = False
     joint_query_only: bool = False
     use_1by1_conv: bool = False
+    lazy_deform: bool = True  # sample raw memory, project post-sampling
     transformer: TransformerLayerCfg = TransformerLayerCfg()
 
     @staticmethod
@@ -117,6 +118,7 @@ class MVFCfg:
             ),
             joint_query_only=d.get("joint_query_only", False),
             use_1by1_conv=d.get("use_1by1_conv", False),
+            lazy_deform=d.get("lazy_deform", True),
             transformer=TransformerLayerCfg.from_dict(d.get("mvf_transformer_cfg")),
         )
 
@@ -184,6 +186,7 @@ class Pose3DCfg:
     conv_heatmap_dim_init: int = 32
     use_mlp_avgpool: bool = False
     use_mlp_heatmap: bool = False
+    lazy_deform: bool = True  # sample raw memory, project post-sampling
     transformer: TransformerLayerCfg = TransformerLayerCfg()
 
     @staticmethod
@@ -207,6 +210,7 @@ class Pose3DCfg:
             conv_heatmap_dim_init=d.get("conv_heatmap_dim_init", 32),
             use_mlp_avgpool=d.get("use_mlp_avgpool", False),
             use_mlp_heatmap=d.get("use_mlp_heatmap", False),
+            lazy_deform=d.get("lazy_deform", True),
             transformer=TransformerLayerCfg.from_dict(d.get("transformer_cfg")),
         )
 

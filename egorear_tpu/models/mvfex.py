@@ -42,7 +42,9 @@ from egorear_tpu.models.configs import MVFCfg, MVFexNetCfg, TransformerLayerCfg
 from egorear_tpu.models.heatmap_net import HeatmapNet
 from egorear_tpu.models.layers import (
     FFN,
+    LinearParams,
     MSDeformAttn,
+    MSDeformAttnLazy,
     MultiheadAttention,
     resize_align_corners,
     upsample2x_align_corners,
@@ -53,7 +55,16 @@ relu = nn.relu
 
 
 class MultiViewTransformerLayer(nn.Module):
-    """Cross-view deformable attention + spatial MHA + FFN (post-norm)."""
+    """Cross-view deformable attention + spatial MHA + FFN (post-norm).
+
+    Two memory modes:
+      * ``memory``: the fully projected (B, V, HW, C) token grid (the
+        reference's computation order).
+      * ``feat_raw`` (+ mem_kernel/mem_bias/mem_pos): raw (B, V, HW, Cin)
+        features; the memory/value projections commute with the bilinear
+        sampling and run post-sampling on ~J*heads vectors instead of the
+        whole grid (MSDeformAttnLazy). Identical math, large TPU win.
+    """
 
     num_views: int
     embed_dims: int
@@ -64,29 +75,38 @@ class MultiViewTransformerLayer(nn.Module):
     def __call__(
         self,
         query: jnp.ndarray,  # (B, J, C)
-        memory: jnp.ndarray,  # (B, V, HW, C)
-        anchors_2d: jnp.ndarray,  # (B, V, J, 2), [0, 1]
-        anchors_valid: jnp.ndarray,  # (B, V, J) bool
+        memory: Optional[jnp.ndarray] = None,  # (B, V, HW, C)
+        anchors_2d: jnp.ndarray = None,  # (B, V, J, 2), [0, 1]
+        anchors_valid: jnp.ndarray = None,  # (B, V, J) bool
+        feat_raw: Optional[jnp.ndarray] = None,  # (B, V, HW, Cin)
+        mem_kernel: Optional[jnp.ndarray] = None,  # (Cin, C)
+        mem_bias: Optional[jnp.ndarray] = None,  # (C,)
+        mem_pos: Optional[jnp.ndarray] = None,  # (V, HW, C)
     ) -> jnp.ndarray:
         B, J, C = query.shape
         V = self.num_views
 
+        if self.cfg.use_normal_cross_attn and memory is None:
+            # Dense attention needs the materialized grid.
+            memory = feat_raw @ mem_kernel
+            if mem_bias is not None:
+                memory = memory + mem_bias
+            if mem_pos is not None:
+                memory = memory + mem_pos[None]
+
         # --- cross attention into every view, views folded into batch ---
         identity = query
+        q_folded = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
+            B * V, J, C
+        )
         if self.cfg.use_normal_cross_attn:
-            q_folded = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
-                B * V, J, C
-            )
             kv = memory.reshape(B * V, -1, C)
             attn = MultiheadAttention(
                 self.embed_dims, 4, name="cross_attn_dense"
             )
             per_view, _ = attn(q_folded, kv, kv)
             per_view = per_view.reshape(B, V, J, C)
-        else:
-            q_folded = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
-                B * V, J, C
-            )
+        elif memory is not None:
             kv = memory.reshape(B * V, -1, C)
             anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
             per_view = MSDeformAttn(
@@ -95,6 +115,24 @@ class MultiViewTransformerLayer(nn.Module):
                 n_points=16,
                 name="cross_attn",
             )(q_folded, anchors, kv, self.feat_shape)
+            per_view = per_view.reshape(B, V, J, C)
+            per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
+        else:
+            Cin = feat_raw.shape[-1]
+            fr = feat_raw.reshape(B * V, -1, Cin)
+            pos = None
+            if mem_pos is not None:
+                pos = jnp.broadcast_to(
+                    mem_pos[None], (B,) + mem_pos.shape
+                ).reshape(B * V, -1, C)
+            anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
+            per_view = MSDeformAttnLazy(
+                d_model=self.embed_dims,
+                n_heads=self.cfg.cross_attn.num_heads,
+                n_points=16,
+                name="cross_attn",
+            )(q_folded, anchors, fr, self.feat_shape,
+              mem_kernel=mem_kernel, mem_bias=mem_bias, mem_pos=pos)
             per_view = per_view.reshape(B, V, J, C)
             per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
 
@@ -131,15 +169,15 @@ class TransformerHeadLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.output_dims == 128:
-            x = relu(nn.Conv(self.output_dims // 2, (1, 1))(x))
+            x = relu(nn.Dense(self.output_dims // 2, name="Conv_0")(x))
             x = upsample2x_align_corners(x)
-            x = relu(nn.Conv(self.output_dims, (1, 1))(x))
+            x = relu(nn.Dense(self.output_dims, name="Conv_1")(x))
         elif self.output_dims == 512:
-            x = relu(nn.Conv(x.shape[-1], (1, 1))(x))
-            x = relu(nn.Conv(self.output_dims // 8, (1, 1))(x))
+            x = relu(nn.Dense(x.shape[-1], name="Conv_0")(x))
+            x = relu(nn.Dense(self.output_dims // 8, name="Conv_1")(x))
             x = upsample2x_align_corners(x)
-            x = relu(nn.Conv(self.output_dims // 4, (1, 1))(x))
-            x = relu(nn.Conv(self.output_dims, (1, 1))(x))
+            x = relu(nn.Dense(self.output_dims // 4, name="Conv_2")(x))
+            x = relu(nn.Dense(self.output_dims, name="Conv_3")(x))
         else:
             raise ValueError(f"unsupported output_dims {self.output_dims}")
         return x
@@ -204,26 +242,37 @@ class MVFexRefiner(nn.Module):
             x = heatmap_embed() + pos
 
         # ---- multi-view memory ----
+        # The 1x1 memory projection is held as Dense-shaped params; in the
+        # lazy path it is never applied to the grid -- MSDeformAttnLazy folds
+        # it (and the pos table / bias) into the post-sampling projections.
         V = self.num_views
-        mv = frame_feat_mv.reshape(B * V, h, w, Cin)
-        mv = nn.Conv(C, (1, 1), name="frame_feat_multi_view_proj")(mv)
-        mv = mv.reshape(B, V, h * w, C)
+        mem_kernel, mem_bias = LinearParams(
+            Cin, C, name="frame_feat_multi_view_proj"
+        )()
         mv_pos = self.param(
             "frame_feat_multi_view_pos_embed",
             nn.initializers.zeros,
             (1, V, h * w, C),
         )
-        memory = mv + mv_pos
+        feat_tokens = frame_feat_mv.reshape(B, V, h * w, Cin)
+        if cfg.lazy_deform and not cfg.transformer.use_normal_cross_attn:
+            memory = None
+        else:
+            memory = (
+                feat_tokens @ mem_kernel.astype(feat_tokens.dtype)
+                + mem_bias.astype(feat_tokens.dtype)
+                + mv_pos.astype(feat_tokens.dtype)
+            )
 
         # ---- downsampled frame features for the residual head ----
-        f = relu(nn.Conv(Cin * 2, (1, 1), name="ff_proj_0")(frame_feat))
+        f = relu(nn.Dense(Cin * 2, name="ff_proj_0")(frame_feat))
         f = relu(
             nn.Conv(
                 Cin * 4, (3, 3), strides=2, padding=((1, 1), (1, 1)),
                 name="ff_proj_1",
             )(f)
         )
-        f = relu(nn.Conv(Cin, (1, 1), name="ff_proj_2")(f))  # (B, h/2, w/2, Cin)
+        f = relu(nn.Dense(Cin, name="ff_proj_2")(f))  # (B, h/2, w/2, Cin)
 
         list_heatmap, list_feat = [], []
         for idx in range(cfg.num_former_layers):
@@ -233,7 +282,9 @@ class MVFexRefiner(nn.Module):
                 feat_shape=self.feat_shape,
                 cfg=cfg.transformer,
                 name=f"transformer_{idx}",
-            )(x, memory, anchors_2d, anchors_valid)
+            )(x, memory, anchors_2d, anchors_valid,
+              feat_raw=feat_tokens if memory is None else None,
+              mem_kernel=mem_kernel, mem_bias=mem_bias, mem_pos=mv_pos[0])
 
             _x = nn.LayerNorm(name=f"post_norm_{idx}")(x)
             side = int(C**0.5)
@@ -248,11 +299,11 @@ class MVFexRefiner(nn.Module):
 
             refined = offset + jax.lax.stop_gradient(f)
             refined = relu(
-                nn.Conv(Cin, (1, 1), name=f"ff_refined_proj_{idx}_0")(refined)
+                nn.Dense(Cin, name=f"ff_refined_proj_{idx}_0")(refined)
             )
             refined = upsample2x_align_corners(refined)
             refined = relu(
-                nn.Conv(Cin, (1, 1), name=f"ff_refined_proj_{idx}_1")(refined)
+                nn.Dense(Cin, name=f"ff_refined_proj_{idx}_1")(refined)
             )  # (B, h, w, Cin)
             list_feat.append(refined)
 
@@ -262,7 +313,7 @@ class MVFexRefiner(nn.Module):
                 else refined
             )
             if cfg.use_1by1_conv:
-                hm = nn.Conv(J, (1, 1), name="conv_heatmap")(hm_in)
+                hm = nn.Dense(J, name="conv_heatmap")(hm_in)
             else:
                 y = relu(
                     nn.Conv(
@@ -270,10 +321,10 @@ class MVFexRefiner(nn.Module):
                         name=f"conv_hm_{idx}_0",
                     )(hm_in)
                 )
-                y = relu(nn.Conv(Cin * 2, (1, 1), name=f"conv_hm_{idx}_1")(y))
+                y = relu(nn.Dense(Cin * 2, name=f"conv_hm_{idx}_1")(y))
                 y = upsample2x_align_corners(y)
-                y = relu(nn.Conv(Cin, (1, 1), name=f"conv_hm_{idx}_2")(y))
-                hm = nn.Conv(J, (1, 1), name=f"conv_hm_{idx}_3")(y)
+                y = relu(nn.Dense(Cin, name=f"conv_hm_{idx}_2")(y))
+                hm = nn.Dense(J, name=f"conv_hm_{idx}_3")(y)
             list_heatmap.append(hm.transpose(0, 3, 1, 2))  # (B, J, h, w)
 
         return list_heatmap, list_feat

@@ -36,7 +36,12 @@ import jax
 import jax.numpy as jnp
 
 from egorear_tpu.models.configs import EgoRearNetCfg, Pose3DCfg
-from egorear_tpu.models.layers import FFN, MSDeformAttn, MultiheadAttention
+from egorear_tpu.models.layers import (
+    FFN,
+    LinearParams,
+    MSDeformAttn,
+    MultiheadAttention,
+)
 from egorear_tpu.models.mvfex import HeatmapMVFexNet, MultiViewTransformerLayer
 from egorear_tpu.ops.camera import CameraRig
 
@@ -92,10 +97,17 @@ class Pose3DLifter(nn.Module):
             frame_feats_init if self.use_pred_heatmap_init else frame_feats_final
         )
 
-        # 1x1 projection of the transformer memory features.
-        x = frame_feats.reshape(B * V, h, w, Cin)
-        x = nn.Conv(C, (1, 1), name="feat_proj")(x)
-        memory = x.reshape(B, V, h * w, C)
+        # 1x1 memory projection, Dense-shaped; never applied to the grid in
+        # the lazy path (folded into post-sampling projections instead).
+        mem_kernel, mem_bias = LinearParams(Cin, C, name="feat_proj")()
+        feat_tokens = frame_feats.reshape(B, V, h * w, Cin)
+        if cfg.lazy_deform and not cfg.transformer.use_normal_cross_attn:
+            memory = None
+        else:
+            memory = (
+                feat_tokens @ mem_kernel.astype(feat_tokens.dtype)
+                + mem_bias.astype(feat_tokens.dtype)
+            )
 
         # ---- 3D proposal ----
         if cfg.use_mlp_avgpool:
@@ -147,13 +159,14 @@ class Pose3DLifter(nn.Module):
         anchors_2d, anchors_valid, anchors_mut = rig.project(
             init_anchors, coord_trans_mat
         )
-        anchors_2d = anchors_2d.astype(memory.dtype)
+        dtype = feat_tokens.dtype
+        anchors_2d = anchors_2d.astype(dtype)
 
         joint_inds = (
-            jnp.arange(1, J + 1, dtype=memory.dtype).reshape(1, J, 1) / float(J)
+            jnp.arange(1, J + 1, dtype=dtype).reshape(1, J, 1) / float(J)
         )
         joint_inds = jnp.broadcast_to(joint_inds, (B, J, 1))
-        q = jnp.concatenate([joint_inds, anchors_mut.astype(memory.dtype)], -1)
+        q = jnp.concatenate([joint_inds, anchors_mut.astype(dtype)], -1)
         for i, dims in enumerate([C, C, C]):
             q = nn.Dense(dims, name=f"query_gen_{i}")(q)
             if i < 2:
@@ -169,7 +182,9 @@ class Pose3DLifter(nn.Module):
                 feat_shape=self.feat_shape,
                 cfg=cfg.transformer,
                 name=f"transformer_{idx}",
-            )(x, memory, anchors_2d, anchors_valid)
+            )(x, memory, anchors_2d, anchors_valid,
+              feat_raw=feat_tokens if memory is None else None,
+              mem_kernel=mem_kernel, mem_bias=mem_bias)
             _x = nn.LayerNorm(name=f"post_norm_{idx}")(x)
             o = _x
             for i in range(cfg.num_pred_mlp_layers - 1):

@@ -51,21 +51,25 @@ def deformable_sampling(
       value: (B, H, W, nh, ch) per-head value maps.
       loc: (B, Q, nh, P, 2) sampling locations in [0, 1], (x, y) order.
       attn_w: (B, Q, nh, P) attention weights (softmaxed by the caller).
-      impl: implementation selector; "auto" picks pallas on TPU for the
-        forward pass and the onehot formulation elsewhere.
+      impl: implementation selector; see the measured defaults below.
 
     Returns:
       (B, Q, nh * ch) sampled features.
     """
     if impl == "auto":
-        # Measured on TPU v5e (B=32, 64x64 map, J=15, P=16): onehot 932us,
-        # pallas 1495us, gather 2502us -- XLA fuses the onehot formulation
-        # best, so it is the default; the Pallas kernel remains selectable.
-        impl = "onehot"
+        import os
+
+        # Measured inside the full model on v5e (B=16, bf16): onehot
+        # 44.7 ms/batch, pallas 46.5, gather 54.8 -- and standalone
+        # (B=32): onehot 932us, pallas 1495us, gather 2502us. onehot is the
+        # default; override with EGOREAR_DEFORM_IMPL={gather,onehot,pallas}.
+        impl = os.environ.get("EGOREAR_DEFORM_IMPL", "onehot")
     if impl == "gather":
         return _sample_gather(value, loc, attn_w)
     if impl == "onehot":
         return _sample_onehot(value, loc, attn_w)
+    if impl == "smatrix":
+        return _sample_smatrix(value, loc, attn_w)
     if impl == "pallas":
         return _sample_pallas_vjp(value, loc, attn_w)
     raise ValueError(f"unknown impl {impl!r}")
@@ -202,7 +206,8 @@ def _make_deform_kernel(H: int, W: int, P: int):
                     S = S + jnp.where(iota == flat, wt, 0.0)
 
         out_ref[0] = jnp.dot(
-            S, value_ref[0], preferred_element_type=jnp.float32
+            S.astype(value_ref.dtype), value_ref[0],
+            preferred_element_type=jnp.float32,
         )
 
     return kernel
@@ -213,7 +218,11 @@ def _sample_pallas_fwd(value, loc, attn_w):
     Q, P = loc.shape[1], loc.shape[3]
     G = B * nh
 
-    v = value.transpose(0, 3, 1, 2, 4).reshape(G, H * W, ch).astype(jnp.float32)
+    # The value block stays in the input dtype (bf16 halves VMEM and doubles
+    # DMA bandwidth; the S operator and the matmul accumulate in f32).
+    # Locations/weights are always f32: bf16 would quantize sampling
+    # positions to ~0.25 px on a 64-wide map.
+    v = value.transpose(0, 3, 1, 2, 4).reshape(G, H * W, ch)
     loc_t = loc.transpose(0, 2, 1, 3, 4).reshape(G, Q, P, 2).astype(jnp.float32)
     locx = loc_t[..., 0]
     locy = loc_t[..., 1]
@@ -261,3 +270,156 @@ def _pallas_bwd_rule(res, g):
 
 
 _sample_pallas_vjp.defvjp(_pallas_fwd_rule, _pallas_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Shared-value sampling: one value map sampled by every head (used by the
+# "lazy" deformable attention, which samples RAW memory once and applies the
+# memory/value projections to the ~Q*P sampled vectors afterwards -- linear
+# maps commute with attention-weighted bilinear interpolation).
+# ---------------------------------------------------------------------------
+
+
+def deformable_sampling_shared(
+    value: jnp.ndarray,  # (B, H, W, Cs) -- shared across heads
+    loc: jnp.ndarray,  # (B, Q, nh, P, 2)
+    attn_w: jnp.ndarray,  # (B, Q, nh, P)
+    impl: Impl = "auto",
+) -> jnp.ndarray:
+    """Attention-weighted bilinear sampling of a head-shared value map.
+
+    Returns (B, Q, nh, Cs). NOTE: zero padding means constants do NOT sample
+    to themselves at borders; callers handling additive biases should append
+    a ones channel and rescale.
+    """
+    if impl == "auto":
+        import os
+
+        # pallas by default for bf16: measured in the full model on v5e
+        # (B=16, bf16) the lazy path runs 20.3 ms/batch with the Pallas
+        # kernel (S operator built in VMEM, zero S HBM traffic) vs 21.1
+        # smatrix, 48.8 gather; the onehot rows formulation OOMs at model
+        # scale. f32 value blocks exceed the 16M scoped-VMEM budget, so f32
+        # dispatches to the differentiable smatrix path (also the backward
+        # for pallas). Override with
+        # EGOREAR_DEFORM_SHARED_IMPL={gather,onehot,smatrix,pallas}.
+        default = "pallas" if value.dtype == jnp.bfloat16 else "smatrix"
+        impl = os.environ.get("EGOREAR_DEFORM_SHARED_IMPL", default)
+    if impl == "pallas":
+        return _sample_shared_pallas(value, loc, attn_w)
+    if impl == "onehot":
+        return _sample_shared_onehot(value, loc, attn_w)
+    if impl == "smatrix":
+        return _sample_shared_smatrix(value, loc, attn_w)
+    return _sample_shared_gather(value, loc, attn_w)
+
+
+def _sample_shared_gather(value, loc, attn_w):
+    B, H, W, Cs = value.shape
+    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    v = value.reshape(B, H * W, Cs)
+    x0, y0, lx, ly = _corner_weights(loc, H, W)  # (B, Q, nh, P)
+    out = jnp.zeros((B, Q, nh, Cs), dtype=value.dtype)
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        xc = x0 + dx
+        yc = y0 + dy
+        wt = jnp.where(dx == 1, lx, 1.0 - lx) * jnp.where(dy == 1, ly, 1.0 - ly)
+        ok = (xc >= 0) & (xc < W) & (yc >= 0) & (yc < H)
+        idx = jnp.clip(yc, 0, H - 1) * W + jnp.clip(xc, 0, W - 1)
+        g = jnp.take_along_axis(
+            v, idx.reshape(B, Q * nh * P)[..., None], axis=1
+        ).reshape(B, Q, nh, P, Cs)
+        out = out + jnp.sum(
+            g * (wt * ok.astype(wt.dtype) * attn_w)[..., None], axis=3
+        )
+    return out
+
+
+def _sample_shared_onehot(value, loc, attn_w):
+    B, H, W, Cs = value.shape
+    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    l = loc.reshape(B, Q * nh * P, 2)
+    x0, y0, lx, ly = _corner_weights(l, H, W)
+    ry = _interp_matrix(y0, ly, H)  # (B, QnP, H)
+    cx = _interp_matrix(x0, lx, W)  # (B, QnP, W)
+    rows = jnp.einsum(
+        "bph,bhwc->bpwc", ry, value, preferred_element_type=jnp.float32
+    )
+    samp = jnp.einsum("bpwc,bpw->bpc", rows, cx)
+    samp = samp.reshape(B, Q, nh, P, Cs) * attn_w[..., None]
+    return samp.sum(axis=3).astype(value.dtype)
+
+
+def _sample_shared_pallas_fwd_impl(value, loc, attn_w):
+    value, loc, attn_w = map(jnp.asarray, (value, loc, attn_w))
+    B, H, W, Cs = value.shape
+    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    # Treat heads as extra queries against one value map per batch element.
+    locf = loc.transpose(0, 2, 1, 3, 4).reshape(B, nh * Q, 1, P, 2)
+    wf = attn_w.transpose(0, 2, 1, 3).reshape(B, nh * Q, 1, P)
+    v = value.reshape(B, H, W, 1, Cs)
+    out = _sample_pallas_fwd(v, locf, wf)  # (B, nh*Q, Cs)
+    return out.reshape(B, nh, Q, Cs).transpose(0, 2, 1, 3)
+
+
+@jax.custom_vjp
+def _sample_shared_pallas(value, loc, attn_w):
+    return _sample_shared_pallas_fwd_impl(value, loc, attn_w)
+
+
+def _shared_pallas_fwd_rule(value, loc, attn_w):
+    return _sample_shared_pallas_fwd_impl(value, loc, attn_w), (value, loc, attn_w)
+
+
+def _shared_pallas_bwd_rule(res, g):
+    # Backward through the differentiable smatrix formulation (the onehot
+    # rows intermediate would OOM at the lazy path's channel counts).
+    value, loc, attn_w = res
+    _, vjp = jax.vjp(_sample_shared_smatrix, value, loc, attn_w)
+    return vjp(g)
+
+
+_sample_shared_pallas.defvjp(_shared_pallas_fwd_rule, _shared_pallas_bwd_rule)
+
+
+def _sample_smatrix(value, loc, attn_w):
+    """Q-granular sampling operator: fold the P points, bilinear corners and
+    attention weights into one S (Q, H*W) matrix per (batch, head), then emit
+    the sample as a single S @ value matmul. ~13x less matmul work than the
+    rows formulation (_sample_onehot) at this model's shapes."""
+    B, H, W, nh, ch = value.shape
+    Q, P = loc.shape[1], loc.shape[3]
+
+    loc = loc.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, P, 2)
+    w = attn_w.transpose(0, 2, 1, 3)  # (B, nh, Q, P)
+    x0, y0, lx, ly = _corner_weights(loc, H, W)
+
+    ry = _interp_matrix(y0, ly, H)  # (B, nh, Q, P, H)
+    cx = _interp_matrix(x0, lx, W)  # (B, nh, Q, P, W)
+    ry = ry * w[..., None]  # fold attention weights once
+    S = jnp.einsum("bnqph,bnqpw->bnqhw", ry, cx,
+                   preferred_element_type=jnp.float32)
+    S = S.reshape(B, nh, Q, H * W).astype(value.dtype)
+
+    v = value.transpose(0, 3, 1, 2, 4).reshape(B, nh, H * W, ch)
+    out = jnp.einsum("bnqs,bnsc->bnqc", S, v,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, nh * ch).astype(value.dtype)
+
+
+def _sample_shared_smatrix(value, loc, attn_w):
+    """Shared-value variant of the S-matrix formulation."""
+    B, H, W, Cs = value.shape
+    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    l = loc.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, P, 2)
+    w = attn_w.transpose(0, 2, 1, 3)
+    x0, y0, lx, ly = _corner_weights(l, H, W)
+    ry = _interp_matrix(y0, ly, H) * w[..., None]
+    cx = _interp_matrix(x0, lx, W)
+    S = jnp.einsum("bnqph,bnqpw->bnqhw", ry, cx,
+                   preferred_element_type=jnp.float32)
+    S = S.reshape(B, nh * Q, H * W).astype(value.dtype)
+    out = jnp.einsum("bqs,bsc->bqc", S, value.reshape(B, H * W, Cs),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, nh, Q, Cs).transpose(0, 2, 1, 3)
+    return out.astype(value.dtype)

@@ -97,6 +97,18 @@ def _emit_linear(params, path, name, v):
         raise KeyError(name)
 
 
+def _emit_conv1x1_as_dense(params, path, name, v):
+    """torch 1x1 conv weight (D, C, 1, 1) -> Dense kernel (C, D). Used for
+    the memory projections that the lazy deformable attention holds as
+    Dense-shaped params (frame_feat_multi_view_proj, feat_proj)."""
+    if name == "weight":
+        _set(params, path + ["kernel"], v[:, :, 0, 0].T)
+    elif name == "bias":
+        _set(params, path + ["bias"], v)
+    else:
+        raise KeyError(name)
+
+
 def _emit_norm(params, stats, path, name, v):
     if name == "weight":
         _set(params, path + ["scale"], v)
@@ -218,11 +230,15 @@ def _map_refiner(key: str, v, params, stats):
         return _set(params, ["frame_feat_multi_view_pos_embed"], v)
     m = re.fullmatch(r"frame_feat_multi_view_proj\.(\w+)", key)
     if m:
-        return _emit_conv(params, ["frame_feat_multi_view_proj"], m.group(1), v)
+        return _emit_conv1x1_as_dense(
+            params, ["frame_feat_multi_view_proj"], m.group(1), v
+        )
     m = re.fullmatch(r"frame_feat_proj_layers\.([024])\.(\w+)", key)
     if m:
         idx = {"0": "0", "2": "1", "4": "2"}[m.group(1)]
-        return _emit_conv(params, [f"ff_proj_{idx}"], m.group(2), v)
+        if idx == "1":  # the middle 3x3 stride-2 conv stays a conv
+            return _emit_conv(params, [f"ff_proj_{idx}"], m.group(2), v)
+        return _emit_conv1x1_as_dense(params, [f"ff_proj_{idx}"], m.group(2), v)
     m = re.fullmatch(r"transformer_layers\.(\d+)\.(.+)", key)
     if m:
         return _map_transformer_layer(
@@ -232,22 +248,26 @@ def _map_refiner(key: str, v, params, stats):
     if m:
         return _emit_norm(params, stats, [f"post_norm_{m.group(1)}"], m.group(2), v)
     m = re.fullmatch(r"head_layers\.(\d+)\.head\.([03])\.(\w+)", key)
-    if m:  # 128-dim head: convs at Sequential indices 0 and 3
+    if m:  # 128-dim head: 1x1 convs (Dense here) at Sequential indices 0, 3
         idx = {"0": "0", "3": "1"}[m.group(2)]
-        return _emit_conv(
+        return _emit_conv1x1_as_dense(
             params, [f"head_{m.group(1)}", f"Conv_{idx}"], m.group(3), v
         )
     m = re.fullmatch(r"frame_feat_refined_proj_layers\.(\d+)\.([03])\.(\w+)", key)
     if m:
         idx = {"0": "0", "3": "1"}[m.group(2)]
-        return _emit_conv(params, [f"ff_refined_proj_{m.group(1)}_{idx}"], m.group(3), v)
+        return _emit_conv1x1_as_dense(
+            params, [f"ff_refined_proj_{m.group(1)}_{idx}"], m.group(3), v
+        )
     m = re.fullmatch(r"conv_heatmap\.(\w+)", key)
     if m:
-        return _emit_conv(params, ["conv_heatmap"], m.group(1), v)
+        return _emit_conv1x1_as_dense(params, ["conv_heatmap"], m.group(1), v)
     m = re.fullmatch(r"conv_heatmap_layers\.(\d+)\.([0257])\.(\w+)", key)
     if m:
         idx = {"0": "0", "2": "1", "5": "2", "7": "3"}[m.group(2)]
-        return _emit_conv(
+        if idx == "0":  # leading 3x3 stride-2 conv stays a conv
+            return _emit_conv(params, [f"conv_hm_{m.group(1)}_{idx}"], m.group(3), v)
+        return _emit_conv1x1_as_dense(
             params, [f"conv_hm_{m.group(1)}_{idx}"], m.group(3), v
         )
     raise KeyError(key)
@@ -265,7 +285,7 @@ def _map_conv_stack_head(key: str, v, params, base: List[str]):
 def _map_pose3d(key: str, v, params, stats, base: List[str], cfg):
     m = re.fullmatch(r"feat_proj\.(\w+)", key)
     if m:
-        return _emit_conv(params, base + ["feat_proj"], m.group(1), v)
+        return _emit_conv1x1_as_dense(params, base + ["feat_proj"], m.group(1), v)
     m = re.fullmatch(r"layers\.(\d+)\.(.+)", key)
     if m:
         return _map_transformer_layer(

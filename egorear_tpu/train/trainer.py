@@ -167,17 +167,48 @@ class Trainer:
 
     def _build_steps(self):
         task = self.task
+        # Mixed precision: reference trains fp32 (configs precision: 32);
+        # "bf16-mixed" keeps fp32 master params/optimizer state and runs the
+        # forward/backward in bfloat16 (the TPU-native fast path).
+        mixed = str(self.cfg.precision).startswith("bf16")
+
+        def _cast(tree, dtype):
+            return jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                tree,
+            )
 
         def train_step(state, batch):
             def loss_fn(params):
+                extra_vars = state["extra_vars"]
+                if mixed:
+                    params = _cast(params, jnp.bfloat16)
+                    extra_vars = dict(extra_vars)
+                    if "batch_stats" in extra_vars:
+                        extra_vars["batch_stats"] = _cast(
+                            extra_vars["batch_stats"], jnp.bfloat16
+                        )
+                    batch_c = {
+                        k: _cast(v, jnp.bfloat16) for k, v in batch.items()
+                    }
+                else:
+                    batch_c = batch
                 loss, (metrics, mutated) = task.loss(
-                    params, state["extra_vars"], batch, train=True
+                    params, extra_vars, batch_c, train=True
                 )
-                return loss, (metrics, mutated)
+                if mixed and "batch_stats" in mutated:
+                    mutated = dict(mutated)
+                    mutated["batch_stats"] = _cast(
+                        mutated["batch_stats"], jnp.float32
+                    )
+                return loss.astype(jnp.float32), (metrics, mutated)
 
             grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(
                 state["params"]
             )
+            if mixed:
+                grads = _cast(grads, jnp.float32)
             updates, opt_state = self.tx.update(
                 grads, state["opt_state"], state["params"]
             )
@@ -353,3 +384,69 @@ class Trainer:
                     sums[k] = sums.get(k, 0.0) + float(v[:n].sum())
             count += n
         return {f"{mode}/{k}": v / max(count, 1) for k, v in sums.items()}
+
+    def predict(self, dataset, out_dir: str, save_obj: bool = False,
+                every_n_batches: int = 1) -> str:
+        """Run inference over ``dataset`` and save predictions.
+
+        Writes one ``predictions.npz`` (stacked final + proposal 3D poses and
+        frame paths) and optionally per-frame skeleton OBJ meshes. The
+        reference's predict_step only forwards batches without persisting
+        (pl_wrappers/egoposeformer/pose_3d_mvf_ex.py:161-163, and its
+        every-other-batch double-fire quirk at heatmap.py:118-123 is a bug we
+        do not reproduce); saving is this framework's addition.
+        """
+        import numpy as _np
+
+        if not hasattr(self.task, "rig"):
+            raise NotImplementedError(
+                "predict currently targets the pose3d task (3D outputs); "
+                "use evaluate() for the heatmap stages"
+            )
+        loader = DataLoader(
+            dataset, self.batch_size, shuffle=False, drop_last=False,
+            num_workers=self.workers, sharding=None, device_put=False,
+        )
+        if self.state is None:
+            first = next(iter(loader))
+            self.init_state(first, steps_per_epoch=1)
+
+        task = self.task
+
+        @jax.jit
+        def _forward(state, batch):
+            variables = {"params": state["params"], **state["extra_vars"]}
+            preds3d, _ = task.model.apply(
+                variables, batch["img"], task.rig,
+                batch.get("coord_trans_mat") if task.is_rw else None,
+                train=False,
+            )
+            return preds3d[-1], preds3d[0]
+
+        os.makedirs(out_dir, exist_ok=True)
+        finals, proposals, paths = [], [], []
+        for bi, batch in enumerate(loader):
+            if bi % every_n_batches:
+                continue
+            arr = _array_batch(batch)
+            n = next(iter(arr.values())).shape[0]
+            if n < self.batch_size:
+                arr = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], self.batch_size - n, axis=0)])
+                    for k, v in arr.items()}
+            f, p = jax.device_get(_forward(self.state, arr))
+            finals.append(f[:n])
+            proposals.append(p[:n])
+            paths.extend(batch.get("frame_path", [""] * n)[:n])
+        finals = np.concatenate(finals) if finals else np.zeros((0, 16, 3))
+        proposals = np.concatenate(proposals) if proposals else finals
+        out_path = os.path.join(out_dir, "predictions.npz")
+        _np.savez(out_path, final=finals, proposal=proposals,
+                  frame_path=np.array(paths, dtype=object))
+        if save_obj:
+            from egorear_tpu.utils.skeleton import export_pose_obj
+
+            for i, pose in enumerate(finals):
+                export_pose_obj(os.path.join(out_dir, f"pose_{i:06d}.obj"), pose)
+        logger.info(f"saved {len(finals)} predictions to {out_path}")
+        return out_path

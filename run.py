@@ -28,6 +28,12 @@ import jax
 if os.environ.get("EGOREAR_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["EGOREAR_PLATFORM"])
 
+# Multi-host TPU pods: set EGOREAR_DISTRIBUTED=1 (plus the usual coordinator
+# env) to initialize jax.distributed before any backend use. Batches stay
+# global; the mesh spans all processes' devices.
+if os.environ.get("EGOREAR_DISTRIBUTED"):
+    jax.distributed.initialize()
+
 import numpy as np
 
 from egorear_tpu.config.loader import load_config
@@ -184,6 +190,13 @@ def main(argv=None):
         trainer.init_state(sample, steps_per_epoch=1)
         if args_ns.ckpt_path:
             load_eval_ckpt(trainer, cfg, args_ns.ckpt_path)
+        if args_ns.subcommand == "predict":
+            out_dir = os.path.join(cfg.trainer.save_dir, "predictions")
+            path = trainer.predict(
+                ds, out_dir, save_obj=bool(args.get("save_result"))
+            )
+            print(json.dumps({"predictions": path}))
+            return path
         mode = "test" if args_ns.subcommand != "validate" else "val"
         metrics = trainer.evaluate(ds, mode=mode)
         print(json.dumps({k: round(float(v), 6) for k, v in metrics.items()},

@@ -93,3 +93,52 @@ def test_gradients_match_between_impls(case):
 def test_public_entrypoint_dispatch(case):
     out = deformable_sampling(*case, impl="onehot")
     assert out.shape == (2, 15, 32)
+
+
+def test_shared_variants_match(case):
+    """Shared-value sampling (lazy path): all impls against per-head gather."""
+    from egorear_tpu.ops.deform_attn import (
+        _sample_shared_gather,
+        _sample_shared_pallas,
+        _sample_shared_smatrix,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    value, loc, w = case
+    rng = np.random.default_rng(1)
+    B, H, W = value.shape[:3]
+    Cs = 13
+    vs = rng.normal(size=(B, H, W, Cs)).astype(np.float32)
+
+    want = np.asarray(_sample_shared_gather(vs, loc, w))
+    got_sm = np.asarray(_sample_shared_smatrix(vs, loc, w))
+    np.testing.assert_allclose(got_sm, want, atol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        got_pl = np.asarray(_sample_shared_pallas(vs, loc, w))
+    np.testing.assert_allclose(got_pl, want, atol=1e-4)
+
+
+def test_shared_pallas_backward_is_smatrix(case):
+    from egorear_tpu.ops.deform_attn import (
+        _sample_shared_pallas,
+        _sample_shared_smatrix,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    value, loc, w = case
+    rng = np.random.default_rng(2)
+    B, H, W = value.shape[:3]
+    vs = rng.normal(size=(B, H, W, 7)).astype(np.float32)
+
+    def loss(fn, v, l, a):
+        return (fn(v, l, a) ** 2).sum()
+
+    g_ref = jax.grad(lambda *a: loss(_sample_shared_smatrix, *a), argnums=(0, 1, 2))(
+        vs, loc, w
+    )
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(lambda *a: loss(_sample_shared_pallas, *a), argnums=(0, 1, 2))(
+            vs, loc, w
+        )
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)

@@ -1,0 +1,106 @@
+"""LR schedule / optimizer masking / YAML config-compat tests."""
+
+import os
+
+import numpy as np
+import yaml
+
+from egorear_tpu.config.loader import apply_overrides, load_config
+from egorear_tpu.train.optim import make_lr_schedule, make_optimizer
+
+
+def test_lr_schedule_warmup_and_decay():
+    # base 1e-3, warmup 500 iters, decay x0.1 at epochs 8 and 10, 100 st/ep.
+    sched = make_lr_schedule(1e-3, 500, (8, 10), steps_per_epoch=100)
+    np.testing.assert_allclose(float(sched(0)), 1e-3 * (1 / 500), rtol=1e-6)
+    np.testing.assert_allclose(float(sched(249)), 1e-3 * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(499)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(700)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(800)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(1000)), 1e-5, rtol=1e-5)
+
+
+def test_weight_decay_mask():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "norm_cross": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+        "bn1": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+    }
+    tx, _ = make_optimizer(
+        1e-3, 0.5, 1, (), 1, grad_clip_norm=None, no_decay_mask=True,
+        params=params,
+    )
+    state = tx.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, state, params)
+    # With zero grads, only decayed params receive (negative) updates.
+    assert float(jnp.abs(updates["dense"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(updates["dense"]["bias"]).sum()) == 0
+    assert float(jnp.abs(updates["norm_cross"]["scale"]).sum()) == 0
+    assert float(jnp.abs(updates["bn1"]["bias"]).sum()) == 0
+
+
+def test_load_reference_format_config(tmp_path):
+    cfg_dict = {
+        "seed_everything": 7,
+        "model": {
+            "class_path": (
+                "pose_estimation.pl_wrappers.egoposeformer."
+                "Pose3DMVFEXLightningModel"
+            ),
+            "init_args": {
+                "model_cfg": {"num_views": 4},
+                "dataset_type": "ego4view_syn_pose3d",
+                "data_root": "/data",
+                "lr": 0.001,
+                "batch_size": 32,
+            },
+        },
+        "trainer": {
+            "max_epochs": 12,
+            "devices": 1,
+            "benchmark": True,
+            "precision": 32,
+            "gradient_clip_val": 5.0,
+            "logger": [{
+                "class_path": "pytorch_lightning.loggers.CSVLogger",
+                "init_args": {"save_dir": "./logs/x"},
+            }],
+            "callbacks": [{
+                "class_path": "pytorch_lightning.callbacks.ModelCheckpoint",
+                "init_args": {"every_n_epochs": 2},
+            }],
+        },
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg_dict))
+    cfg = load_config(str(p), ["--model.batch_size", "8",
+                               "--trainer.max_epochs", "3"])
+    assert cfg.task_name == "pose_3d_mvf_ex"
+    assert cfg.seed == 7
+    assert cfg.init_args["batch_size"] == 8  # dot-override applied
+    assert cfg.trainer.max_epochs == 3
+    assert cfg.trainer.save_dir == "./logs/x"
+    assert cfg.trainer.ckpt_every_n_epochs == 2
+    assert cfg.trainer.devices == 1
+
+
+def test_all_shipped_configs_parse():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = sorted(os.listdir(os.path.join(repo, "configs")))
+    assert len(names) == 12
+    for n in names:
+        cfg = load_config(os.path.join(repo, "configs", n))
+        assert cfg.task_name in ("heatmap", "heatmap_mvf_ex", "pose_3d_mvf_ex")
+        assert cfg.init_args.get("dataset_type", "").startswith("ego4view")
+
+
+def test_override_equals_syntax():
+    raw = {"model": {"init_args": {}}, "trainer": {}}
+    out = apply_overrides(raw, ["--model.lr=0.01", "--trainer.devices=4"])
+    assert out["model"]["init_args"]["lr"] == 0.01
+    assert out["trainer"]["devices"] == 4
