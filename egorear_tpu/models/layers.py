@@ -262,9 +262,9 @@ class MSDeformAttnLazy(nn.Module):
         spatial_shape,  # static (H, W)
         mem_kernel: Optional[jnp.ndarray] = None,  # (Cin, C)
         mem_bias: Optional[jnp.ndarray] = None,  # (C,)
-        mem_pos: Optional[jnp.ndarray] = None,  # (B, H*W, C) or (H*W, C)
+        mem_pos: Optional[jnp.ndarray] = None,  # (H*W, C) or (G, H*W, C)
     ):
-        from egorear_tpu.ops.deform_attn import deformable_sampling_shared
+        from egorear_tpu.ops.deform_attn import lazy_deform_sample
 
         B, Q, C = query.shape
         H, W = spatial_shape
@@ -294,24 +294,16 @@ class MSDeformAttnLazy(nn.Module):
         wv = wv.astype(query.dtype)
         bv = bv.astype(query.dtype)
 
-        # Sampling buffer: [feat (Cin) | pos (C)? | ones (1)].
-        parts = [feat_raw]
+        # Fused sampling of raw features + (optional) pos table + implicit
+        # ones channel; no broadcast/concat buffer is materialized. A 3-dim
+        # pos (G, HW, C) is grouped over consecutive batch blocks (callers
+        # fold views-major so each view's table stays VMEM-resident).
+        pos = None
         if mem_pos is not None:
-            pos = mem_pos if mem_pos.ndim == 3 else jnp.broadcast_to(
-                mem_pos[None], (B,) + mem_pos.shape
-            )
-            parts.append(pos.astype(feat_raw.dtype))
-        parts.append(jnp.ones(feat_raw.shape[:-1] + (1,), feat_raw.dtype))
-        buf = jnp.concatenate(parts, axis=-1).reshape(B, H, W, -1)
-
-        s = deformable_sampling_shared(buf, loc, weights, impl=self.impl)
-        s_feat = s[..., :Cin]
-        idx = Cin
-        s_pos = None
-        if mem_pos is not None:
-            s_pos = s[..., idx:idx + C]
-            idx += C
-        s_one = s[..., idx:idx + 1]
+            pos = mem_pos.astype(feat_raw.dtype)
+        s_feat, s_pos, s_one = lazy_deform_sample(
+            feat_raw, loc, weights, pos=pos, impl=self.impl
+        )
 
         wv_h = wv.reshape(C, nh, ch)
         const = bv.reshape(nh, ch)

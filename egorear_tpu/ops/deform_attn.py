@@ -423,3 +423,187 @@ def _sample_shared_smatrix(value, loc, attn_w):
                      preferred_element_type=jnp.float32)
     out = out.reshape(B, nh, Q, Cs).transpose(0, 2, 1, 3)
     return out.astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused lazy sampling kernel: samples raw features and an optional
+# batch-independent position table WITHOUT materializing the broadcast/concat
+# buffer (which the profiler showed costing ~800 MB/step of HBM traffic at
+# batch 16). The position block's index map is constant, so Pallas keeps it
+# VMEM-resident across grid steps instead of re-reading it per batch element.
+# ---------------------------------------------------------------------------
+
+
+def _make_lazy_kernel(H: int, W: int, P: int, nh: int, with_pos: bool):
+    def kernel(*refs):
+        if with_pos:
+            feat_ref, pos_ref, locx_ref, locy_ref, w_ref, of_ref, op_ref, oo_ref = refs
+        else:
+            feat_ref, locx_ref, locy_ref, w_ref, of_ref, oo_ref = refs
+            pos_ref = op_ref = None  # pos_ref block: (1, HW, C)
+        NQ = locx_ref.shape[1]  # nh * Q rows, each with its own locations
+        HW = H * W
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (NQ, HW), 1)
+        S = jnp.zeros((NQ, HW), jnp.float32)
+        for p in range(P):
+            x = locx_ref[0, :, p : p + 1] * W - 0.5
+            y = locy_ref[0, :, p : p + 1] * H - 0.5
+            aw = w_ref[0, :, p : p + 1]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xc = x0i + dx
+                    yc = y0i + dy
+                    ok = (xc >= 0) & (xc < W) & (yc >= 0) & (yc < H)
+                    flat = jnp.where(ok, yc * W + xc, -1)
+                    wt = ((lx if dx else 1.0 - lx)
+                          * (ly if dy else 1.0 - ly) * aw)
+                    S = S + jnp.where(iota == flat, wt, 0.0)
+
+        Sc = S.astype(feat_ref.dtype)
+        of_ref[0] = jnp.dot(Sc, feat_ref[0], preferred_element_type=jnp.float32)
+        if with_pos:
+            op_ref[0] = jnp.dot(Sc.astype(pos_ref.dtype), pos_ref[0],
+                                preferred_element_type=jnp.float32)
+        oo_ref[0] = jnp.sum(S, axis=1, keepdims=True)
+
+    return kernel
+
+
+def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
+    feat, loc, attn_w = map(jnp.asarray, (feat, loc, attn_w))
+    B, HW, Cin = feat.shape
+    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    H = W = int(HW**0.5)
+    NQ = nh * Q
+
+    locf = loc.transpose(0, 2, 1, 3, 4).reshape(B, NQ, P, 2).astype(jnp.float32)
+    wf = attn_w.transpose(0, 2, 1, 3).reshape(B, NQ, P).astype(jnp.float32)
+
+    with_pos = pos is not None
+    ins = [feat]
+    in_specs = [pl.BlockSpec((1, HW, Cin), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if with_pos:
+        pos = jnp.asarray(pos)
+        C = pos.shape[-1]
+        if pos.ndim == 2:
+            pos = pos[None]
+        G = pos.shape[0]
+        assert B % G == 0, (B, G)
+        per_group = B // G
+        ins.append(pos)
+        # Constant within each group of consecutive grid steps, so Pallas
+        # keeps the block VMEM-resident instead of re-reading per batch.
+        in_specs.append(pl.BlockSpec(
+            (1, HW, C), lambda b: (b // per_group, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    ins += [locf[..., 0], locf[..., 1], wf]
+    in_specs += [pl.BlockSpec((1, NQ, P), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)] * 3
+
+    out_shape = [jax.ShapeDtypeStruct((B, NQ, Cin), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, NQ, Cin), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_pos:
+        out_shape.append(jax.ShapeDtypeStruct((B, NQ, pos.shape[-1]), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, NQ, pos.shape[-1]), lambda b: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((B, NQ, 1), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, NQ, 1), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        _make_lazy_kernel(H, W, P, nh, with_pos),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * NQ * HW * (Cin + (pos.shape[-1] if with_pos else 0)),
+            bytes_accessed=B * HW * Cin * 2 + NQ * P * 12 * B,
+            transcendentals=0,
+        ),
+    )(*ins)
+
+    def _split(o):
+        return o.reshape(B, nh, Q, -1).transpose(0, 2, 1, 3)
+
+    s_feat = _split(outs[0]).astype(feat.dtype)
+    s_pos = _split(outs[1]).astype(feat.dtype) if with_pos else None
+    s_one = _split(outs[-1]).astype(feat.dtype)
+    return s_feat, s_pos, s_one
+
+
+def _lazy_sample_reference(feat, loc, attn_w, pos):
+    """Differentiable jnp twin of the fused lazy kernel (used as its VJP and
+    as the f32 / non-TPU path). Samples via the smatrix formulation."""
+    B, HW, Cin = feat.shape
+    H = W = int(HW**0.5)
+    parts = [feat]
+    if pos is not None:
+        if pos.ndim == 2:
+            pos_b = jnp.broadcast_to(pos[None], (B,) + pos.shape)
+        else:  # (G, HW, C) grouped over consecutive batch blocks
+            G = pos.shape[0]
+            pos_b = jnp.repeat(pos, B // G, axis=0)
+        parts.append(pos_b.astype(feat.dtype))
+    parts.append(jnp.ones((B, HW, 1), feat.dtype))
+    buf = jnp.concatenate(parts, axis=-1).reshape(B, H, W, -1)
+    s = _sample_shared_smatrix(buf, loc, attn_w)
+    s_feat = s[..., :Cin]
+    if pos is not None:
+        C = pos.shape[-1]
+        return s_feat, s[..., Cin:Cin + C], s[..., -1:]
+    return s_feat, None, s[..., -1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _lazy_sample(feat, loc, attn_w, pos):
+    return _lazy_sample_pallas_fwd(feat, loc, attn_w, pos)
+
+
+def _lazy_fwd_rule(feat, loc, attn_w, pos):
+    return _lazy_sample_pallas_fwd(feat, loc, attn_w, pos), (feat, loc, attn_w, pos)
+
+
+def _lazy_bwd_rule(res, g):
+    feat, loc, attn_w, pos = res
+    if pos is None:
+        def f(fe, l, w):
+            o = _lazy_sample_reference(fe, l, w, None)
+            return (o[0], o[2])
+        _, vjp = jax.vjp(f, feat, loc, attn_w)
+        dfe, dl, dw = vjp((g[0], g[2]))
+        return dfe, dl, dw, None
+    _, vjp = jax.vjp(_lazy_sample_reference, feat, loc, attn_w, pos)
+    return vjp(g)
+
+
+_lazy_sample.defvjp(_lazy_fwd_rule, _lazy_bwd_rule)
+
+
+def lazy_deform_sample(feat, loc, attn_w, pos=None, impl: str = "auto"):
+    """Sample raw memory (+ optional batch-independent pos table) at
+    deformable locations, returning (s_feat, s_pos|None, s_one).
+
+    feat (B, HW, Cin); loc (B, Q, nh, P, 2); attn_w (B, Q, nh, P);
+    pos (HW, C) or (G, HW, C) with the batch grouped as G consecutive
+    blocks (e.g. views-major folding) so each pos block stays VMEM-resident.
+    The ones-sample s_one rescales additive constants at zero-padded borders.
+    """
+    if impl == "auto":
+        import os
+
+        default = "pallas" if feat.dtype == jnp.bfloat16 else "reference"
+        impl = os.environ.get("EGOREAR_LAZY_IMPL", default)
+    if impl == "pallas":
+        return _lazy_sample(feat, loc, attn_w, pos)
+    return _lazy_sample_reference(feat, loc, attn_w, pos)
