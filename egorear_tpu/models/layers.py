@@ -324,3 +324,26 @@ class MSDeformAttnLazy(nn.Module):
             name="output_proj",
         )(out)
         return out
+
+
+class PatchEmbed(nn.Module):
+    """ViT-style patch embedding (reference egoposeformer_heatmap_mvf_ex.py:
+    734-764 ships it unused; kept for inventory parity). NHWC input."""
+
+    patch_size: Tuple[int, int] = (4, 4)
+    embed_dim: int = 1024
+    flatten: bool = True
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        x = nn.Conv(
+            self.embed_dim, self.patch_size, strides=self.patch_size,
+            name="proj",
+        )(x)
+        B, h, w, C = x.shape
+        if self.flatten:
+            x = x.reshape(B, h * w, C)
+        if self.use_norm:
+            x = nn.LayerNorm()(x)
+        return x, h, w

@@ -270,3 +270,67 @@ def apply_se3(mats: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         )
         + trans[..., None, :]
     )
+
+
+# ---------------------------------------------------------------------------
+# Legacy UnrealEgo stereo projection (reference utils/camera_models.py:106-157
+# keeps it alongside the calibrated model, dispatched via projection_funcs).
+# ---------------------------------------------------------------------------
+
+_UNREALEGO_POLY_W2C = (
+    541.084422, 133.996745, -53.833198, 60.96083, -24.78051, 12.451492,
+    -30.240511, 26.90122, 116.38499, -133.991117, -141.904687, 184.05592,
+    107.45616, -125.552875, -55.66342, 44.209519, 18.234651, -6.410899,
+    -2.737066,
+)
+_UNREALEGO_CENTER = (511.1183388444314, 510.8730105600536)
+_UNREALEGO_SIZE = (1024, 1024)
+
+
+def unrealego_project(local_3d: jnp.ndarray, local_origin=None):
+    """Hard-coded UnrealEgo stereo fisheye projection.
+
+    local_3d: (B, J, 3) device-frame points (cm). Returns
+    ((B, 2, J, 2) normalized coords, (B, 2, J) in-FOV mask) -- camera 0 gets
+    a -6 cm x-offset, camera 1 +6 cm, matching the reference's fixed stereo
+    baseline (utils/camera_models.py:116-127).
+    """
+    p = jnp.repeat(local_3d[:, None], 2, axis=1)
+    if local_origin is not None:
+        p = p + local_origin
+    else:
+        offsets = jnp.asarray([[-6.0, 0, 0], [6.0, 0, 0]], dtype=p.dtype)
+        p = p + offsets[None, :, None, :]
+
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = jnp.maximum(jnp.sqrt(x * x + y * y), _EPS)
+    theta = jnp.arctan(-z / r)
+    coeffs = _UNREALEGO_POLY_W2C
+    rho = jnp.full_like(theta, coeffs[-1])
+    for a in coeffs[-2::-1]:
+        rho = rho * theta + a
+    u = (x / r * rho + _UNREALEGO_CENTER[0]) / _UNREALEGO_SIZE[1]
+    v = (y / r * rho + _UNREALEGO_CENTER[1]) / _UNREALEGO_SIZE[0]
+    pts2d = jnp.stack([u, v], axis=-1)
+    in_fov = (u > 0) & (v > 0) & (u < 1) & (v < 1)
+    return jnp.clip(pts2d, 0.0, 1.0), in_fov
+
+
+# Dispatch table kept for API parity (camera_models.py:154-157).
+projection_funcs = {
+    "unrealego": unrealego_project,
+    "unrealego2": unrealego_project,
+}
+
+
+def blender_to_opencv_extrinsics(mat: np.ndarray) -> np.ndarray:
+    """Blender camera pose (4x4, -Z forward / +Y up) -> OpenCV extrinsics
+    (+Z forward / -Y up). Reference utils/util.py:300-471 ships a family of
+    such converters for dataset tooling; this is the core axis flip."""
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    return np.asarray(mat, np.float64) @ flip
+
+
+def opencv_to_blender_extrinsics(mat: np.ndarray) -> np.ndarray:
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    return np.asarray(mat, np.float64) @ flip

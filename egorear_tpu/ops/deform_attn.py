@@ -443,7 +443,9 @@ def _make_lazy_kernel(H: int, W: int, P: int, nh: int, with_pos: bool):
             pos_ref = op_ref = None  # pos_ref block: (1, HW, C)
         NQ = locx_ref.shape[1]  # nh * Q rows, each with its own locations
         HW = H * W
-
+        # NOTE: S stays f32 -- Mosaic cannot relayout the bf16 select masks
+        # here ("invalid relayout ... vector<60x4096xi1>"), and bf16
+        # accumulation showed no wall-clock win when attempted.
         iota = jax.lax.broadcasted_iota(jnp.int32, (NQ, HW), 1)
         S = jnp.zeros((NQ, HW), jnp.float32)
         for p in range(P):

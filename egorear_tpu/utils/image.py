@@ -128,3 +128,33 @@ def compute_error_accel(
 def compute_error_verts(pred_verts: np.ndarray, gt_verts: np.ndarray) -> np.ndarray:
     """Mean per-vertex error (models/utils/util.py:460)."""
     return np.linalg.norm(pred_verts - gt_verts, axis=-1).mean(axis=-1)
+
+
+def egoglass_limb_masks(
+    joints_2d: np.ndarray,
+    image_hw=(256, 256),
+    thickness: int = 12,
+) -> np.ndarray:
+    """Pseudo body-part segmentation masks rasterized from 2D joints
+    (EgoGlass-style; reference models/utils/util.py:371-407). Returns
+    (num_parts, H, W) uint8 masks for {torso, left arm, right arm, left leg,
+    right leg} drawn as thick limb segments."""
+    import cv2
+
+    J = joints_2d
+    parts = {
+        "torso": [(1, 8), (1, 9), (8, 9), (1, 2), (1, 3)],
+        "left_arm": [(2, 4), (4, 6)],
+        "right_arm": [(3, 5), (5, 7)],
+        "left_leg": [(8, 10), (10, 12), (12, 14)],
+        "right_leg": [(9, 11), (11, 13), (13, 15)],
+    }
+    out = np.zeros((len(parts), *image_hw), np.uint8)
+    for pi, bones in enumerate(parts.values()):
+        for a, b in bones:
+            if a < len(J) and b < len(J):
+                cv2.line(
+                    out[pi], tuple(np.int32(J[a])), tuple(np.int32(J[b])),
+                    255, thickness,
+                )
+    return out

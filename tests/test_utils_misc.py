@@ -130,3 +130,62 @@ def test_aux_losses_finite_and_ordered():
     for fn in (joints_coordinate_loss, wing_loss):
         v = float(fn(gt * 10, pts, image_size=(16, 16)))
         assert np.isfinite(v)
+
+
+def test_unrealego_projection_and_dispatch():
+    from egorear_tpu.ops.camera import projection_funcs, unrealego_project
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform([-50, -50, -150], [50, 50, -20], size=(2, 16, 3)).astype(
+        np.float32
+    )
+    pts2d, fov = unrealego_project(pts)
+    assert pts2d.shape == (2, 2, 16, 2) and fov.shape == (2, 2, 16)
+    assert (np.asarray(pts2d) >= 0).all() and (np.asarray(pts2d) <= 1).all()
+    # Stereo baseline: the two views project the same point differently.
+    assert np.abs(np.asarray(pts2d)[:, 0] - np.asarray(pts2d)[:, 1]).max() > 1e-4
+    assert projection_funcs["unrealego"] is unrealego_project
+
+    # Scalar transcription check for one point, camera 0 (-6 cm x offset).
+    from egorear_tpu.ops.camera import (
+        _UNREALEGO_CENTER, _UNREALEGO_POLY_W2C, _UNREALEGO_SIZE,
+    )
+    p = pts[0, 0] + np.array([-6.0, 0, 0])
+    r = np.sqrt(p[0] ** 2 + p[1] ** 2)
+    th = np.arctan(-p[2] / r)
+    rho = sum(a * th**i for i, a in enumerate(_UNREALEGO_POLY_W2C))
+    u = np.clip((p[0] / r * rho + _UNREALEGO_CENTER[0]) / _UNREALEGO_SIZE[1], 0, 1)
+    np.testing.assert_allclose(float(pts2d[0, 0, 0, 0]), u, atol=5e-4)
+
+
+def test_blender_opencv_roundtrip():
+    from egorear_tpu.ops.camera import (
+        blender_to_opencv_extrinsics, opencv_to_blender_extrinsics,
+    )
+
+    rng = np.random.default_rng(6)
+    m = np.eye(4)
+    m[:3, 3] = rng.normal(size=3)
+    out = opencv_to_blender_extrinsics(blender_to_opencv_extrinsics(m))
+    np.testing.assert_allclose(out, m, atol=1e-12)
+
+
+def test_egoglass_limb_masks():
+    from egorear_tpu.utils.image import egoglass_limb_masks
+
+    rng = np.random.default_rng(7)
+    joints = rng.uniform(20, 230, size=(16, 2))
+    masks = egoglass_limb_masks(joints, (256, 256))
+    assert masks.shape == (5, 256, 256)
+    assert all(m.max() == 255 for m in masks)
+
+
+def test_patch_embed():
+    import jax
+    from egorear_tpu.models.layers import PatchEmbed
+
+    m = PatchEmbed(patch_size=(4, 4), embed_dim=32)
+    x = np.zeros((2, 16, 16, 8), np.float32)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    out, h, w = m.apply(vs, x)
+    assert out.shape == (2, 16, 32) and (h, w) == (4, 4)
