@@ -106,5 +106,76 @@ def main():
     }))
 
 
+def bench_training():
+    """Secondary benchmark: pose3d training-step throughput (frames/s/chip),
+    bf16-mixed. Run with: python bench.py train"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import time as _t
+
+    from __graft_entry__ import _build
+    from egorear_tpu.ops.metrics import mpjpe_loss
+
+    net, rig, _ = _build((256, 256))
+    B = 8
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(B, 4, 3, 256, 256)), jnp.float32)
+    gt_pose = jnp.asarray(rng.normal(size=(B, 16, 3)) * 30, jnp.float32)
+    gt_hm = jnp.asarray(rng.uniform(size=(B, 4, 15, 64, 64)), jnp.float32)
+
+    variables = jax.jit(lambda: net.init(jax.random.PRNGKey(0), img[:1], rig))()
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+
+    def cast(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+        )
+
+    @jax.jit
+    def step(params, stats, opt_state, img, gt_pose, gt_hm):
+        def loss_fn(p):
+            (p3d, hms), mut = net.apply(
+                {"params": cast(p), "batch_stats": cast(stats)},
+                img.astype(jnp.bfloat16), rig, train=True,
+                mutable=["batch_stats"],
+            )
+            loss = sum(mpjpe_loss(x, gt_pose) for x in p3d) * 0.1
+            loss += sum(((h - gt_hm) ** 2).mean() for h in hms) * 10.0
+            return loss.astype(jnp.float32), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), \
+            jax.tree.map(lambda x: x.astype(jnp.float32), new_stats), \
+            new_opt, loss
+
+    params, stats, opt_state, loss = step(params, stats, opt_state, img,
+                                          gt_pose, gt_hm)
+    jax.block_until_ready(loss)
+    n = 20
+    t0 = _t.perf_counter()
+    for _ in range(n):
+        params, stats, opt_state, loss = step(params, stats, opt_state, img,
+                                              gt_pose, gt_hm)
+    jax.block_until_ready(loss)
+    dt = (_t.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "pose3d_train_step_fps_per_chip",
+        "value": round(B / dt, 2),
+        "unit": "frames/s",
+        "ms_per_step": round(dt * 1000, 2),
+        "batch": B,
+        "precision": "bf16-mixed",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        bench_training()
+    else:
+        main()

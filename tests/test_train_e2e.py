@@ -244,3 +244,29 @@ def test_cli_fit_and_test(syn_root, tmp_path):
     assert test.returncode == 0, test.stderr[-3000:]
     metrics = json.loads(test.stdout[test.stdout.index("{"):])
     assert "test/proposal_mse_heatmap" in metrics
+
+
+def test_bf16_mixed_training(syn_root, tmp_path):
+    """bf16-mixed keeps fp32 master params and still reduces the loss."""
+    task = HeatmapTask(model_cfg={"num_heatmap": 15, "encoder_cfg": ENCODER_CFG})
+    cfg = _trainer_cfg(tmp_path, epochs=2)
+    cfg.precision = "bf16-mixed"
+    trainer = Trainer(task, cfg, lr=1e-3, weight_decay=5e-3,
+                      lr_decay_epochs=(), warmup_iters=2, batch_size=8,
+                      workers=2)
+    train_ds = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "train",
+                           camera_pos="all")
+    trainer.fit(train_ds)
+
+    import csv
+    import jax.numpy as jnp
+    import jax
+
+    with open(trainer.logger.path) as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r["train/heatmap_loss"]) for r in rows
+              if r.get("train/heatmap_loss")]
+    assert losses[-1] < losses[0], losses
+    # Master params stayed fp32.
+    leaf = jax.tree.leaves(trainer.state["params"])[0]
+    assert leaf.dtype == jnp.float32
