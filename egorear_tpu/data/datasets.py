@@ -102,6 +102,7 @@ class _Ego4ViewBase:
         pre_shuffle: bool = False,
         render_missing_heatmaps: bool = False,
         use_native_loader: bool = True,
+        device_preprocess: bool = False,
         **unused_kwargs,
     ):
         self.data_root = data_root
@@ -110,6 +111,7 @@ class _Ego4ViewBase:
         self.cameras = _cameras_for(self.camera_pos)
         self.image_size = image_size
         self.render_missing_heatmaps = render_missing_heatmaps
+        self.device_preprocess = device_preprocess
         self.json_dir = "json_smplx_gendered" if variant == "syn" else "json_smplx"
         self.img_ext = ".jpg" if variant == "syn" else ".png"
         self.frames = self._collect(info_json, pre_shuffle)
@@ -130,6 +132,34 @@ class _Ego4ViewBase:
         if self._native is not None:
             return self._native.load_f32_batch(list(paths), self.image_size)
         return np.stack([load_image(p, self.image_size) for p in paths])
+
+    def _load_images_u8(self, paths) -> np.ndarray:
+        """-> (len(paths), S, S, 3) uint8 (on-device preprocessing path)."""
+        if self._native is not None:
+            return self._native.load_u8_batch(list(paths), self.image_size)
+        return np.stack([load_image_u8(p, self.image_size) for p in paths])
+
+    def _load_views_device(self, frame: str):
+        """On-device preprocessing sample: uint8 views + raw 2D joints.
+
+        Normalization and Gaussian-target rendering then run fused on the
+        TPU (egorear_tpu.data.preprocess / tasks.prepare_batch) -- the
+        BASELINE.json north-star path. Host->device traffic drops ~4x
+        (uint8 HWC instead of normalized f32).
+        """
+        imgs = self._load_images_u8(
+            [self._img_path(frame, c) for c in self.cameras]
+        )  # (V, S, S, 3) uint8
+        with open(frame) as f:
+            data = json.load(f)
+        joints_2d = np.array(
+            [
+                [data["joints"][j][f"{c}_pts2d"] for j in JOINT_NAMES]
+                for c in self.cameras
+            ],
+            np.float32,
+        )  # (V, 16, 2)
+        return imgs, joints_2d, data
 
     def _collect(self, info_json: str, pre_shuffle: bool) -> List[str]:
         lines = self._split_lines(info_json)
@@ -269,6 +299,10 @@ class HeatmapMVFDataset(_Ego4ViewBase):
 
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         frame = self.frames[idx]
+        if self.device_preprocess:
+            img_u8, joints_2d, _ = self._load_views_device(frame)
+            return {"img_u8": img_u8, "joints_2d": joints_2d,
+                    "frame_path": frame}
         img, hm = self._load_views(frame)
         return {"img": img, "gt_heatmap": hm, "frame_path": frame}
 
@@ -279,6 +313,20 @@ class Pose3DDataset(_Ego4ViewBase):
 
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         frame = self.frames[idx]
+        if self.device_preprocess:
+            img_u8, joints_2d, data = self._load_views_device(frame)
+            out = {
+                "img_u8": img_u8,
+                "joints_2d": joints_2d,
+                "gt_pose": np.array(
+                    [data["joints"][j]["device_pts3d"] for j in JOINT_NAMES],
+                    np.float32,
+                ),
+                "frame_path": frame,
+            }
+            if self.variant == "rw":
+                out["coord_trans_mat"] = self._load_coord_trans(frame)
+            return out
         img, hm = self._load_views(frame)
         out = {
             "img": img,

@@ -35,6 +35,28 @@ from egorear_tpu.ops.metrics import (
 CM2MM = 10.0
 
 
+def prepare_batch(batch: dict) -> dict:
+    """Fused on-device preprocessing (the BASELINE.json north-star path).
+
+    When the dataset ships raw uint8 views (+ 2D joints), normalization and
+    Gaussian GT-heatmap rendering run here, inside the jitted step, on the
+    TPU. Host->device traffic is uint8 HWC; heatmap targets are bit-identical
+    to the offline generate_heatmap.py precompute. No-op for host-prepared
+    batches.
+    """
+    if "img_u8" not in batch:
+        return batch
+    from egorear_tpu.data.preprocess import preprocess_images_device
+    from egorear_tpu.ops.heatmap import render_gaussian_targets
+
+    out = {k: v for k, v in batch.items() if k not in ("img_u8", "joints_2d")}
+    out["img"] = preprocess_images_device(batch["img_u8"])
+    if "joints_2d" in batch and "gt_heatmap" not in batch:
+        targets, _ = render_gaussian_targets(batch["joints_2d"])
+        out["gt_heatmap"] = targets[..., 1:, :, :]  # drop Head -> 15
+    return out
+
+
 def _per_view_mse_sum(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """sum over views of mean-MSE per view (reference heatmap.py:103-105)."""
     V = pred.shape[1]
@@ -98,9 +120,11 @@ class HeatmapTask:
         self.w_heatmap = w_heatmap
 
     def init(self, rng, batch):
+        batch = prepare_batch(batch)
         return self.model.init(rng, batch["img"], train=False)
 
     def loss(self, params, extra_vars, batch, train: bool = True):
+        batch = prepare_batch(batch)
         outs, mutated = self.model.apply(
             {"params": params, **extra_vars},
             batch["img"],
@@ -113,6 +137,7 @@ class HeatmapTask:
 
     def eval_metrics(self, variables, batch, test_mode: bool = False):
         del test_mode
+        batch = prepare_batch(batch)
         pred = self.model.apply(variables, batch["img"], train=False)
         return heatmap_eval_metrics(pred, batch["gt_heatmap"], "proposal")
 
@@ -129,9 +154,11 @@ class MVFexTask:
         self.w_heatmap = w_heatmap
 
     def init(self, rng, batch):
+        batch = prepare_batch(batch)
         return self.model.init(rng, batch["img"], train=False)
 
     def loss(self, params, extra_vars, batch, train: bool = True):
+        batch = prepare_batch(batch)
         (hms, _), mutated = self.model.apply(
             {"params": params, **extra_vars},
             batch["img"],
@@ -150,6 +177,7 @@ class MVFexTask:
         return total, (metrics, mutated)
 
     def eval_metrics(self, variables, batch, test_mode: bool = False):
+        batch = prepare_batch(batch)
         hms, _ = self.model.apply(variables, batch["img"], train=False)
         gt = batch["gt_heatmap"]
         V = gt.shape[1]
@@ -222,11 +250,13 @@ class Pose3DTask:
         return batch.get("coord_trans_mat") if self.is_rw else None
 
     def init(self, rng, batch):
+        batch = prepare_batch(batch)
         return self.model.init(
             rng, batch["img"], self.rig, self._ctm(batch), train=False
         )
 
     def loss(self, params, extra_vars, batch, train: bool = True):
+        batch = prepare_batch(batch)
         (preds3d, hms), mutated = self.model.apply(
             {"params": params, **extra_vars},
             batch["img"],
@@ -251,6 +281,7 @@ class Pose3DTask:
         return total, (metrics, mutated)
 
     def eval_metrics(self, variables, batch, test_mode: bool = False):
+        batch = prepare_batch(batch)
         preds3d, _ = self.model.apply(
             variables, batch["img"], self.rig, self._ctm(batch), train=False
         )

@@ -100,3 +100,41 @@ def test_loader_partial_batch(syn_root):
     ns = [b["img"].shape[0] for b in loader]
     assert sum(ns) == len(ds)
     assert ns[-1] == len(ds) % 3 or ns[-1] == 3
+
+
+def test_device_preprocess_path(tmp_path):
+    """On-device preprocessing: uint8 samples produce (nearly) the same
+    prepared batches as the host pipeline, and heatmap targets are exact."""
+    import jax
+
+    from egorear_tpu.train.tasks import prepare_batch
+
+    root = make_synthetic_dataset(
+        str(tmp_path / "dev"), "syn", frames_per_seq=3, write_heatmaps=True,
+        splits=("train",),
+    )
+    host_ds = get_dataset("ego4view_syn_pose3d", root, "train", camera_pos="all")
+    dev_ds = get_dataset("ego4view_syn_pose3d", root, "train", camera_pos="all",
+                         device_preprocess=True)
+    assert len(host_ds) == len(dev_ds)
+
+    h = host_ds[0]
+    d = dev_ds[0]
+    assert d["img_u8"].shape == (4, 256, 256, 3) and d["img_u8"].dtype == np.uint8
+    assert d["joints_2d"].shape == (4, 16, 2)
+    np.testing.assert_allclose(d["gt_pose"], h["gt_pose"])
+
+    batch = {k: np.asarray(v)[None] for k, v in d.items()
+             if isinstance(v, np.ndarray)}
+    prepared = jax.jit(prepare_batch)(batch)
+    assert prepared["img"].shape == (1, 4, 3, 256, 256)
+    assert prepared["gt_heatmap"].shape == (1, 4, 15, 64, 64)
+    # Heatmap targets bit-identical to the offline NPY precompute.
+    np.testing.assert_allclose(
+        np.asarray(prepared["gt_heatmap"][0]), h["gt_heatmap"], atol=1e-6
+    )
+    # Images match the host pipeline within the uint8 quantization bound.
+    from egorear_tpu.data.datasets import IMAGENET_STD
+
+    tol = (1.0 / 255.0) / IMAGENET_STD.min() + 1e-4
+    assert np.abs(np.asarray(prepared["img"][0]) - h["img"]).max() <= tol
