@@ -347,3 +347,38 @@ class PatchEmbed(nn.Module):
         if self.use_norm:
             x = nn.LayerNorm()(x)
         return x, h, w
+
+
+class Conv3x3S2Matmul(nn.Module):
+    """3x3 stride-2 pad-1 convolution expressed as 9 shifted matmuls.
+
+    Inside an nn.vmap'ed module (stacked per-view weights) a regular conv
+    lowers to a slow grouped convolution on TPU; slicing + Dense-style
+    einsums lower to batched matmuls instead. Parameter names/shapes match
+    nn.Conv (kernel (3, 3, Cin, Cout), bias (Cout,)) so checkpoints are
+    interchangeable.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, Cin) NHWC
+        B, H, W, Cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, Cin, self.features),
+        ).astype(x.dtype)
+        bias = self.param(
+            "bias", zeros_init, (self.features,)
+        ).astype(x.dtype)
+
+        oh, ow = H // 2, W // 2
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                sl = xp[:, dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2, :]
+                term = jnp.einsum("bhwc,cd->bhwd", sl, kernel[dy, dx])
+                out = term if out is None else out + term
+        return out + bias
