@@ -159,3 +159,26 @@ def test_refined_heatmaps_depend_on_other_views():
     hms_b, _ = net.apply(vs, img_b)
     refined_delta = float(jnp.abs(hms_a[1][:, 0] - hms_b[1][:, 0]).max())
     assert refined_delta > 1e-6
+
+
+def test_dense_cross_attention_option():
+    """use_normal_cross_attn replaces deformable sampling with full attention
+    (reference egoposeformer_heatmap_mvf_ex.py:840-842, 887-902)."""
+    from egorear_tpu.models.configs import TransformerLayerCfg
+
+    cfg = _mvfex_cfg(
+        2,
+        mvf=MVFCfg(
+            joint_query_adaptation=True,
+            use_1by1_conv=True,
+            transformer=TransformerLayerCfg(use_normal_cross_attn=True),
+        ),
+    )
+    net = HeatmapMVFexNet(cfg=cfg)
+    img = jnp.zeros((1, 2, 3, IMG, IMG))
+    vs = net.init(jax.random.PRNGKey(0), img)
+    hms, _ = net.apply(vs, img)
+    assert hms[1].shape == (1, 2, 15, HM, HM)
+    # The dense path has its own attention params, not the deformable heads.
+    ref = vs["params"]["refiners"]["transformer_0"]
+    assert "cross_attn_dense" in ref and "cross_attn" not in ref
