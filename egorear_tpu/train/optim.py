@@ -72,8 +72,16 @@ def make_optimizer(
     grad_clip_norm: Optional[float] = 5.0,
     no_decay_mask: bool = False,
     params=None,
+    encoder_lr_scale: float = 1.0,
 ):
-    """AdamW chain: [global-norm clip] -> adamw(schedule, masked decay)."""
+    """AdamW chain: [global-norm clip] -> adamw(schedule, masked decay)
+    [-> encoder-lr scaling].
+
+    ``encoder_lr_scale != 1.0`` scales the updates of every param under an
+    ``encoder`` subtree (the reference's encoder param-group path,
+    pose_3d_mvf_ex.py:236-246 -- note that branch would crash in the
+    reference for the MVFEX network since it has no ``.encoder`` attribute;
+    all shipped configs use 1.0)."""
     schedule = make_lr_schedule(
         base_lr, warmup_iters, lr_decay_epochs, steps_per_epoch
     )
@@ -89,6 +97,20 @@ def make_optimizer(
         weight_decay=weight_decay,
         mask=mask,
     )
+    if encoder_lr_scale != 1.0:
+        import jax
+
+        assert params is not None, "need params to build the encoder mask"
+
+        def is_encoder(path, _):
+            return any(
+                (getattr(k, "key", str(k)) == "encoder") for k in path
+            )
+
+        enc_mask = jax.tree_util.tree_map_with_path(is_encoder, params)
+        tx = optax.chain(
+            tx, optax.masked(optax.scale(encoder_lr_scale), enc_mask)
+        )
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx, schedule

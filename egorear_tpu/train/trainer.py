@@ -51,6 +51,8 @@ class TrainerConfig:
     profile_steps: int = 0  # capture a jax.profiler trace for N train steps
     debug_nans: bool = False  # per-step non-finite loss detection
     auto_resume: bool = False  # restore the latest checkpoint in save_dir
+    remat: bool = False  # rematerialize the forward in backward (less HBM)
+    encoder_lr_scale: float = 1.0  # update scale for encoder subtrees
 
 
 class CSVLogger:
@@ -147,6 +149,7 @@ class Trainer:
             grad_clip_norm=self.cfg.gradient_clip_val,
             no_decay_mask=self.no_decay_mask,
             params=params,
+            encoder_lr_scale=self.cfg.encoder_lr_scale,
         )
         opt_state = self.tx.init(params)
         state = {
@@ -204,7 +207,8 @@ class Trainer:
                     )
                 return loss.astype(jnp.float32), (metrics, mutated)
 
-            grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(
+            fn = jax.checkpoint(loss_fn) if self.cfg.remat else loss_fn
+            grads, (metrics, mutated) = jax.grad(fn, has_aux=True)(
                 state["params"]
             )
             if mixed:

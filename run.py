@@ -89,6 +89,12 @@ def build_trainer(cfg, task, args):
     )
 
 
+def _apply_encoder_lr(cfg, args):
+    # Reference: encoder_lr_scale != 1.0 switches to the encoder param-group
+    # optimizer (pose_3d_mvf_ex.py:236-246).
+    cfg.trainer.encoder_lr_scale = float(args.get("encoder_lr_scale", 1.0))
+
+
 def _datasets(args, split_pair):
     dtype = args["dataset_type"]
     root = args["data_root"]
@@ -165,6 +171,7 @@ def main(argv=None):
     cfg = load_config(args_ns.config, overrides)
     np.random.seed(cfg.seed)
     task, args = build_task(cfg)
+    _apply_encoder_lr(cfg, args)
     trainer = build_trainer(cfg, task, args)
 
     if args_ns.subcommand == "fit":

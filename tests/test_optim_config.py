@@ -104,3 +104,47 @@ def test_override_equals_syntax():
     out = apply_overrides(raw, ["--model.lr=0.01", "--trainer.devices=4"])
     assert out["model"]["init_args"]["lr"] == 0.01
     assert out["trainer"]["devices"] == 4
+
+
+def test_encoder_lr_scale_scales_encoder_updates():
+    import jax
+    import jax.numpy as jnp
+
+    params = {
+        "heatmap_estimator": {"encoder": {"kernel": jnp.ones((4, 4))}},
+        "head": {"kernel": jnp.ones((4, 4))},
+    }
+    tx, _ = make_optimizer(1e-3, 0.0, 1, (), 1, grad_clip_norm=None,
+                           params=params, encoder_lr_scale=0.1)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    enc = float(jnp.abs(updates["heatmap_estimator"]["encoder"]["kernel"]).mean())
+    head = float(jnp.abs(updates["head"]["kernel"]).mean())
+    np.testing.assert_allclose(enc, head * 0.1, rtol=1e-5)
+
+
+def test_remat_training_step(tmp_path):
+    """remat=True still produces finite decreasing losses."""
+    import jax.numpy as jnp
+    from egorear_tpu.train.tasks import HeatmapTask
+    from egorear_tpu.train.trainer import Trainer, TrainerConfig
+    from egorear_tpu.data.synthetic import make_synthetic_dataset
+    from egorear_tpu.data.datasets import get_dataset
+
+    root = make_synthetic_dataset(str(tmp_path / "d"), "syn", frames_per_seq=4,
+                                  write_heatmaps=True, splits=("train",))
+    ENC = {"resnet_cfg": {"use_imagenet_pretrain": False},
+           "neck_cfg": {"out_channels": 128}}
+    task = HeatmapTask(model_cfg={"num_heatmap": 15, "encoder_cfg": ENC})
+    cfg = TrainerConfig(max_epochs=1, log_every_n_steps=1, seed=0,
+                        save_dir=str(tmp_path / "logs"), remat=True)
+    tr = Trainer(task, cfg, lr=1e-3, weight_decay=0.0, lr_decay_epochs=(),
+                 warmup_iters=1, batch_size=4, workers=2)
+    ds = get_dataset("ego4view_syn_heatmap_mvf", root, "train", camera_pos="all")
+    tr.fit(ds)
+    import csv
+    rows = list(csv.DictReader(open(tr.logger.path)))
+    losses = [float(r["train/heatmap_loss"]) for r in rows
+              if r.get("train/heatmap_loss")]
+    assert all(np.isfinite(l) for l in losses)
