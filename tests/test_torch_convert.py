@@ -282,3 +282,47 @@ def test_full_cascade_conversion_numeric_parity():
             np.asarray(g), w.numpy(), atol=5e-3, rtol=1e-2,
             err_msg=f"3d stage {i}",
         )
+
+
+def test_torch_ckpt_graft_into_mvfex(tmp_path):
+    """Stage-1 torch .ckpt grafts into the MVFex front estimator through the
+    checkpoint library (the reference's staged-pretraining surgery,
+    heatmap_mvf_ex.py:93-102) and changes the converted subtree only."""
+    import jax.numpy as jnp
+
+    from egorear_tpu.models.configs import MVFCfg, MVFexNetCfg
+    from egorear_tpu.models.mvfex import HeatmapMVFexNet
+    from egorear_tpu.train import checkpoint as ckpt_lib
+    from torch_ref import HeatmapModel
+
+    torch.manual_seed(5)
+    tmodel = HeatmapModel(15)
+    sd = {"network._orig_mod." + k: v for k, v in tmodel.state_dict().items()}
+    ckpt_path = str(tmp_path / "stage1.ckpt")
+    torch.save({"state_dict": sd}, ckpt_path)
+
+    cfg = MVFexNetCfg(
+        num_views=2, image_size=(64, 64), num_heatmap=15,
+        camera_model="ego4view_syn_stereo_front",
+        mvf=MVFCfg(joint_query_adaptation=True, use_1by1_conv=True),
+    )
+    net = HeatmapMVFexNet(cfg=cfg)
+    img = jnp.zeros((1, 2, 3, 64, 64))
+    vs = jax.device_get(net.init(jax.random.PRNGKey(0), img))
+
+    sub = "heatmap_estimator_stereo_front"
+    loaded = ckpt_lib.load_pretrained(
+        ckpt_path,
+        {"params": vs["params"][sub], "batch_stats": vs["batch_stats"][sub]},
+        "heatmap",
+    )
+    params = ckpt_lib.graft(vs["params"], sub, loaded["params"])
+    # Grafted conv matches the torch weights (OIHW -> HWIO).
+    want = tmodel.conv_heatmap.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(params[sub]["conv_heatmap"]["kernel"]), want, atol=1e-6
+    )
+    # Other subtrees untouched.
+    a = jax.tree.leaves(vs["params"]["refiners"])[0]
+    b = jax.tree.leaves(params["refiners"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
