@@ -458,15 +458,24 @@ def _make_lazy_kernel(H: int, W: int, P: int, nh: int, with_pos: bool):
             ly = y - y0
             x0i = x0.astype(jnp.int32)
             y0i = y0.astype(jnp.int32)
+            # Per x-corner pair share the flat base index: the adjacent
+            # corners live at flat0 and flat0 + 1, so one subtraction covers
+            # both compares. Out-of-range corners are killed by pre-masked
+            # weights (an aliased flat0 at a row edge then matches with
+            # weight exactly 0, which is safe). Wall-clock is neutral vs the
+            # 4-compare variant on v5e (15.9 vs 15.75 ms full model) but the
+            # VPU op count is ~25% lower.
+            okx0 = (x0i >= 0).astype(jnp.float32)
+            okx1 = (x0i + 1 < W).astype(jnp.float32)
             for dy in (0, 1):
-                for dx in (0, 1):
-                    xc = x0i + dx
-                    yc = y0i + dy
-                    ok = (xc >= 0) & (xc < W) & (yc >= 0) & (yc < H)
-                    flat = jnp.where(ok, yc * W + xc, -1)
-                    wt = ((lx if dx else 1.0 - lx)
-                          * (ly if dy else 1.0 - ly) * aw)
-                    S = S + jnp.where(iota == flat, wt, 0.0)
+                yc = y0i + dy
+                oky = ((yc >= 0) & (yc < H))
+                wy = (ly if dy else 1.0 - ly) * aw
+                w0 = wy * (1.0 - lx) * okx0
+                w1 = wy * lx * okx1
+                flat0 = jnp.where(oky, yc * W + x0i, -2)
+                d = iota - flat0
+                S = S + jnp.where(d == 0, w0, jnp.where(d == 1, w1, 0.0))
 
         Sc = S.astype(feat_ref.dtype)
         of_ref[0] = jnp.dot(Sc, feat_ref[0], preferred_element_type=jnp.float32)
