@@ -16,14 +16,23 @@ queries (deform_attn.py:30, egoposeformer_heatmap_mvf_ex.py:772), so the
 multi-level machinery collapses to one level; views are folded into the batch
 axis by the callers.
 
-Three implementations, one contract:
+Implementations, one contract (all cross-tested against a scalar oracle):
   * ``gather``  -- XLA take_along_axis oracle; reference for correctness.
-  * ``onehot``  -- expresses the bilinear sample as two small matmuls
-                   (row-interp matrix @ value @ col weights) so the work lands
-                   on the MXU instead of scatter/gather units. Differentiable.
-  * ``pallas``  -- Pallas TPU kernel of the onehot formulation, fusing weight
-                   construction, both matmuls and the attention-weighted
-                   reduction in VMEM; backward falls back to the onehot VJP.
+  * ``onehot``  -- bilinear sample as two interpolation matmuls (MXU work
+                   instead of scatter/gather units). Differentiable.
+  * ``smatrix`` -- points, corners and attention weights folded into one
+                   (Q, H*W) sampling operator + a single matmul (~13x less
+                   matmul work than onehot at these shapes). Differentiable.
+  * ``pallas``  -- TPU kernel building the S operator in VMEM (zero HBM
+                   traffic for it) + one MXU matmul; smatrix/onehot VJPs.
+
+On top of these, the *lazy* variants (``deformable_sampling_shared``,
+``lazy_deform_sample``) sample RAW memory shared across heads -- the memory
+and value projections commute with attention-weighted bilinear interpolation
+and run post-sampling on ~Q*heads vectors instead of the grid (see
+models/layers.py MSDeformAttnLazy). The fused lazy Pallas kernel additionally
+keeps batch-independent position tables VMEM-resident across grid steps and
+derives the border-correction ones-sample from S row sums.
 """
 
 from __future__ import annotations
