@@ -5,13 +5,24 @@ Replaces the reference's torch DataLoader worker processes
 releases the GIL) feeding a double-buffered ``jax.device_put`` queue, so
 host decode overlaps device compute. Batches are dict-of-ndarray; non-array
 fields (e.g. ``frame_path``) are collected into lists and not transferred.
+
+Multi-host (``jax.process_count() > 1``): every process walks the SAME global
+batch-index sequence (seeded shuffle), loads only its contiguous
+``batch_size / process_count`` slice of each batch, and the transfer step
+assembles the global sharded array via
+``jax.make_array_from_process_local_data``. This is the semantics of the
+reference's DDP per-process batch/worker division
+(pl_wrappers/egoposeformer/heatmap.py:159-176) without duplicated host IO.
+
+``pad_last=True`` pads the final partial batch at the *index* level (repeat
+the last index) so batch shapes stay static for jit, and reports the true
+sample count in the ``__valid_n__`` batch key (a host int, not transferred).
 """
 
 from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
 from typing import Iterator, Optional
 
 import jax
@@ -30,6 +41,7 @@ class DataLoader:
         sharding=None,
         prefetch: int = 2,
         device_put: bool = True,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -40,7 +52,19 @@ class DataLoader:
         self.sharding = sharding
         self.prefetch = prefetch
         self.device_put = device_put
+        self.pad_last = pad_last
         self.epoch = 0
+
+        # Multi-host: slice each global batch per process. Only sharded
+        # (global-batch) loaders participate; a sharding-less loader is a
+        # purely local object.
+        self._pcount = jax.process_count() if sharding is not None else 1
+        self._pindex = jax.process_index() if sharding is not None else 0
+        if self._pcount > 1 and batch_size % self._pcount:
+            raise ValueError(
+                f"global batch size {batch_size} not divisible by "
+                f"process count {self._pcount}"
+            )
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -52,6 +76,8 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self):
+        """Yields (global_index_array, true_n) pairs; identical sequence on
+        every process (same seed/epoch)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -59,7 +85,13 @@ class DataLoader:
             rng.shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for i in range(0, stop, self.batch_size):
-            yield order[i : i + self.batch_size]
+            idxs = order[i : i + self.batch_size]
+            true_n = len(idxs)
+            if self.pad_last and true_n < self.batch_size:
+                idxs = np.concatenate(
+                    [idxs, np.repeat(idxs[-1:], self.batch_size - true_n)]
+                )
+            yield idxs, true_n
 
     def _collate(self, samples):
         batch = {}
@@ -74,19 +106,30 @@ class DataLoader:
     def _host_batches(self) -> Iterator[dict]:
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             pending = collections.deque()
-            it = self._batch_indices()
 
-            def submit(idxs):
-                futures = [pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
-                pending.append(futures)
+            def submit(idxs, true_n):
+                if self._pcount > 1:
+                    per = self.batch_size // self._pcount
+                    idxs = idxs[self._pindex * per : (self._pindex + 1) * per]
+                futures = [
+                    pool.submit(self.dataset.__getitem__, int(i)) for i in idxs
+                ]
+                pending.append((futures, true_n))
+
+            def finish():
+                futures, true_n = pending.popleft()
+                batch = self._collate([f.result() for f in futures])
+                if self.pad_last:
+                    batch["__valid_n__"] = true_n
+                return batch
 
             # Keep a couple of batches in flight.
-            for idxs in it:
-                submit(idxs)
+            for idxs, true_n in self._batch_indices():
+                submit(idxs, true_n)
                 if len(pending) > self.prefetch:
-                    yield self._collate([f.result() for f in pending.popleft()])
+                    yield finish()
             while pending:
-                yield self._collate([f.result() for f in pending.popleft()])
+                yield finish()
 
     def __iter__(self) -> Iterator[dict]:
         queue: collections.deque = collections.deque()
@@ -104,7 +147,11 @@ class DataLoader:
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                if self.sharding is not None:
+                if self._pcount > 1:
+                    out[k] = jax.make_array_from_process_local_data(
+                        self.sharding, v
+                    )
+                elif self.sharding is not None:
                     out[k] = jax.device_put(v, self.sharding)
                 else:
                     out[k] = jax.device_put(v)

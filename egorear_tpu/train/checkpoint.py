@@ -34,11 +34,17 @@ except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
 
-def save(ckpt_dir: str, epoch: int, state) -> str:
-    """Save train state under <ckpt_dir>/epoch=<N> (Lightning-style naming)."""
+def save(ckpt_dir: str, epoch: int, state, use_orbax: bool = True) -> str:
+    """Save train state under <ckpt_dir>/epoch=<N> (Lightning-style naming).
+
+    ``use_orbax=False`` forces the collective-free pickle path: orbax's save
+    runs cross-process sync barriers internally, so a rank-0-only save on a
+    multi-host pod (trainer state is replicated; only rank 0 writes) must
+    not go through it.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch={epoch}"))
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if _HAS_ORBAX:
+    if _HAS_ORBAX and use_orbax:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()

@@ -443,6 +443,139 @@ def verify_against(variables: dict, target: dict, path="") -> List[str]:
     return errs
 
 
+def convert_torchvision_resnet18(sd: Dict[str, np.ndarray]) -> dict:
+    """torchvision resnet18 state dict -> flax ``ResNet18`` module variables.
+
+    Torchvision key grammar (models.resnet18): ``conv1``, ``bn1``,
+    ``layer{1..4}.{0,1}.{conv1,bn1,conv2,bn2}``, optional
+    ``layer{2,3,4}.0.downsample.{0,1}`` and the classifier ``fc`` (dropped --
+    the reference keeps only the feature stages, resnet.py:16-21).
+    Returns ``{"params": ..., "batch_stats": ...}`` shaped for the
+    ``resnet`` subtree of :class:`egorear_tpu.models.backbone.BackboneWithFPN`.
+    """
+    params: dict = {}
+    stats: dict = {}
+    for key, v in sd.items():
+        v = np.asarray(v)
+        if key.startswith("fc."):
+            continue
+        m = re.fullmatch(r"conv1\.(\w+)", key)
+        if m:
+            _emit_conv(params, ["conv1"], m.group(1), v)
+            continue
+        m = re.fullmatch(r"bn1\.(\w+)", key)
+        if m:
+            _emit_norm(params, stats, ["bn1"], m.group(1), v)
+            continue
+        m = re.fullmatch(r"layer(\d)\.(\d)\.(.+)", key)
+        if m:
+            _map_basic_block(
+                m.group(3), v, params, stats,
+                [f"layer{m.group(1)}_{m.group(2)}"],
+            )
+            continue
+        raise KeyError(f"unrecognized torchvision key {key}")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_imagenet_resnet18(path: Optional[str] = None) -> dict:
+    """Locate + convert ImageNet-pretrained resnet18 weights.
+
+    The reference initializes its backbone from torchvision's pretrained
+    resnet18 whenever ``use_imagenet_pretrain`` is set (resnet.py:31-41; all
+    12 shipped configs set it). This host cannot download weights, so they
+    are resolved from, in order: an explicit ``path``, the
+    ``EGOREAR_IMAGENET_RESNET18`` env var, or the standard torch hub cache
+    (``~/.cache/torch/hub/checkpoints/resnet18-*.pth``). Accepts a raw torch
+    state dict (``.pth``/``.pt``) or an ``.npz`` with the same keys. Raises
+    ``FileNotFoundError`` if none is available -- silently training from
+    scratch under a pretrain flag would be a parity bug.
+    """
+    import glob
+    import os
+
+    candidates = []
+    if path:
+        candidates.append(path)
+    env = os.environ.get("EGOREAR_IMAGENET_RESNET18")
+    if env:
+        candidates.append(env)
+    hub = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+    candidates.extend(sorted(glob.glob(os.path.join(hub, "resnet18-*.pth"))))
+
+    found = next((c for c in candidates if os.path.exists(c)), None)
+    if found is None:
+        raise FileNotFoundError(
+            "use_imagenet_pretrain=true but no resnet18 ImageNet weights "
+            "found. Provide them via the EGOREAR_IMAGENET_RESNET18 env var "
+            "or ~/.cache/torch/hub/checkpoints/resnet18-*.pth (torchvision's "
+            "cache location), or set "
+            "encoder_cfg.resnet_cfg.use_imagenet_pretrain=false."
+        )
+    if found.endswith(".npz"):
+        sd = dict(np.load(found))
+    else:
+        import torch
+
+        raw = torch.load(found, map_location="cpu", weights_only=False)
+        sd = raw.get("state_dict", raw)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+              for k, v in sd.items()}
+    logger.info(f"loading ImageNet resnet18 init from {found}")
+    return convert_torchvision_resnet18(sd)
+
+
+def graft_imagenet_backbones(variables: dict, pretrained: dict) -> dict:
+    """Graft ImageNet resnet weights into every ``encoder/resnet`` subtree.
+
+    Walks ``variables`` (params + batch_stats) for nodes named ``encoder``
+    holding a ``resnet`` child and replaces that child, leaf-verified by
+    shape. Covers the stage-1 net and both stereo estimators inside the
+    MVFex/pose3d cascades in one pass.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cols = {"params": "params", "batch_stats": "batch_stats"}
+    n_grafted = 0
+
+    def walk(node, src_col):
+        nonlocal n_grafted
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "encoder" and isinstance(v, dict) and "resnet" in v:
+                errs = verify_against(pretrained[src_col], v["resnet"])
+                if errs:
+                    raise ValueError(
+                        "ImageNet resnet18 weights do not match the model's "
+                        f"resnet subtree:\n" + "\n".join(errs[:10])
+                    )
+                # b may be a tracer (task.init runs under jit): only read
+                # its dtype; the pretrained arrays become jit constants.
+                out[k] = dict(v, resnet=jax.tree.map(
+                    lambda a, b: jnp.asarray(a, dtype=b.dtype),
+                    pretrained[src_col], v["resnet"],
+                ))
+                n_grafted += 1
+            else:
+                out[k] = walk(v, src_col)
+        return out
+
+    new_vars = {}
+    for col, src_col in cols.items():
+        new_vars[col] = (
+            walk(variables[col], src_col) if col in variables
+            else variables.get(col)
+        )
+    new_vars.update({k: v for k, v in variables.items() if k not in cols})
+    if n_grafted == 0:
+        raise ValueError("no encoder/resnet subtree found to graft into")
+    logger.info(f"grafted ImageNet resnet18 into {n_grafted} backbone(s)")
+    return {k: v for k, v in new_vars.items() if v is not None}
+
+
 def convert_lightning_ckpt(path: str, target_variables: dict, task_name: str,
                            num_views: Optional[int] = None, pose3d_cfg=None) -> dict:
     """Load a reference ``.ckpt`` and convert to flax variables, verified
