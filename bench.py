@@ -97,6 +97,17 @@ def main():
         with open(baseline_path) as f:
             torch_cpu = json.load(f)
 
+    # Training throughput in the gate (VERDICT r1 item 7): pose3d train-step
+    # fps at the two precisions, so training regressions are visible round
+    # over round. Skippable via EGOREAR_BENCH_SKIP_TRAIN=1 (compile cost).
+    if not os.environ.get("EGOREAR_BENCH_SKIP_TRAIN"):
+        for prec in ("bf16-mixed", "fp32"):
+            try:
+                fps = bench_training(precision=prec, emit=False)
+                results[f"train_b8_{prec}"] = round(fps, 2)
+            except Exception as e:  # noqa: BLE001
+                results[f"train_b8_{prec}"] = f"skipped: {type(e).__name__}"
+
     print(json.dumps({
         "metric": "4view_inference_fps_per_chip",
         "value": round(best[0], 2),
@@ -112,9 +123,14 @@ def main():
     }))
 
 
-def bench_training():
-    """Secondary benchmark: pose3d training-step throughput (frames/s/chip),
-    bf16-mixed. Run with: python bench.py train"""
+def bench_training(precision: str = "bf16-mixed", emit: bool = True) -> float:
+    """Secondary benchmark: pose3d training-step throughput (frames/s/chip).
+    Run standalone with: python bench.py train [fp32].
+
+    bf16-mixed mirrors Trainer's fixed semantics: params/activations are
+    cast to bf16 for the forward, BatchNorm running stats stay fp32 master
+    copies end to end, grads are accumulated/applied in fp32.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -135,8 +151,11 @@ def bench_training():
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
     opt_state = tx.init(params)
+    mixed = precision != "fp32"
 
     def cast(t):
+        if not mixed:
+            return t
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
         )
@@ -145,8 +164,8 @@ def bench_training():
     def step(params, stats, opt_state, img, gt_pose, gt_hm):
         def loss_fn(p):
             (p3d, hms), mut = net.apply(
-                {"params": cast(p), "batch_stats": cast(stats)},
-                img.astype(jnp.bfloat16), rig, train=True,
+                {"params": cast(p), "batch_stats": stats},
+                cast(img), rig, train=True,
                 mutable=["batch_stats"],
             )
             loss = sum(mpjpe_loss(x, gt_pose) for x in p3d) * 0.1
@@ -156,9 +175,7 @@ def bench_training():
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), \
-            jax.tree.map(lambda x: x.astype(jnp.float32), new_stats), \
-            new_opt, loss
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
     params, stats, opt_state, loss = step(params, stats, opt_state, img,
                                           gt_pose, gt_hm)
@@ -170,18 +187,20 @@ def bench_training():
                                               gt_pose, gt_hm)
     jax.block_until_ready(loss)
     dt = (_t.perf_counter() - t0) / n
-    print(json.dumps({
-        "metric": "pose3d_train_step_fps_per_chip",
-        "value": round(B / dt, 2),
-        "unit": "frames/s",
-        "ms_per_step": round(dt * 1000, 2),
-        "batch": B,
-        "precision": "bf16-mixed",
-    }))
+    if emit:
+        print(json.dumps({
+            "metric": "pose3d_train_step_fps_per_chip",
+            "value": round(B / dt, 2),
+            "unit": "frames/s",
+            "ms_per_step": round(dt * 1000, 2),
+            "batch": B,
+            "precision": precision,
+        }))
+    return B / dt
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "train":
-        bench_training()
+        bench_training("fp32" if "fp32" in sys.argv[2:] else "bf16-mixed")
     else:
         main()

@@ -108,6 +108,9 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
     for lg in traw.get("logger", []) or []:
         if isinstance(lg, dict) and "CSVLogger" in str(lg.get("class_path", "")):
             save_dir = lg.get("init_args", {}).get("save_dir", save_dir)
+    # Explicit trainer-level output dirs win over the YAML logger block
+    # (--trainer.save_dir / Lightning's --trainer.default_root_dir).
+    save_dir = traw.get("save_dir") or traw.get("default_root_dir") or save_dir
     ckpt_every = 1
     for cb in traw.get("callbacks", []) or []:
         if isinstance(cb, dict) and "ModelCheckpoint" in str(cb.get("class_path", "")):
@@ -115,7 +118,7 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
     ignored = set(traw) - {
         "max_epochs", "check_val_every_n_epoch", "log_every_n_steps",
         "gradient_clip_val", "gradient_clip_algorithm", "precision", "devices",
-        "logger", "callbacks", "benchmark",
+        "logger", "callbacks", "benchmark", "save_dir", "default_root_dir",
     }
     if ignored:
         logger.info(f"ignoring trainer keys: {sorted(ignored)}")

@@ -21,6 +21,14 @@ import jax.numpy as jnp
 from egorear_tpu.models.layers import upsample2x_align_corners
 
 
+def _relu(x):
+    # jnp.maximum instead of jax.nn.relu: the relu stays a plain HLO in the
+    # caller's computation (no inner-jit call boundary), which lets XLA fuse
+    # it into the producing conv/dot epilogues -- the profiler showed the
+    # FPN's jax.nn.relu running as standalone bandwidth-bound passes.
+    return jnp.maximum(x, 0)
+
+
 class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
@@ -36,7 +44,7 @@ class BasicBlock(nn.Module):
             padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
         )(x)
         out = bn("bn1")(out)
-        out = nn.relu(out)
+        out = _relu(out)
         out = nn.Conv(
             self.channels, (3, 3), padding=((1, 1), (1, 1)),
             use_bias=False, name="conv2",
@@ -48,7 +56,7 @@ class BasicBlock(nn.Module):
                 use_bias=False, name="downsample_conv",
             )(x)
             identity = bn("downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return _relu(out + identity)
 
 
 class ResNet18(nn.Module):
@@ -69,7 +77,7 @@ class ResNet18(nn.Module):
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
         )(out)
-        s2 = nn.relu(out)
+        s2 = _relu(out)
 
         out = nn.max_pool(s2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i in range(2):
@@ -97,7 +105,7 @@ class EfficientFPN(nn.Module):
 
     @nn.compact
     def __call__(self, feats):
-        act = nn.relu if self.with_relu else (lambda y: y)
+        act = _relu if self.with_relu else (lambda y: y)
         laterals = [
             act(nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(f))
             for i, f in enumerate(feats)

@@ -119,17 +119,16 @@ class MultiViewTransformerLayer(nn.Module):
             per_view = per_view.reshape(B, V, J, C)
             per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
         else:
-            # View-MAJOR folding so the (V, HW, C) pos table maps onto G
-            # consecutive grid groups and stays VMEM-resident in the fused
-            # lazy kernel.
+            # Batch-MAJOR (B, V) folding -- a free reshape on every operand.
+            # The (V, HW, C) pos table is matched to the interleaved view
+            # groups inside the sampling contraction (lazy_deform_sample),
+            # so no view-major transpose of the feature grid is needed.
             Cin = feat_raw.shape[-1]
-            fr = feat_raw.transpose(1, 0, 2, 3).reshape(V * B, -1, Cin)
-            qv = jnp.broadcast_to(query[None], (V, B, J, C)).reshape(
-                V * B, J, C
+            fr = feat_raw.reshape(B * V, -1, Cin)
+            qv = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
+                B * V, J, C
             )
-            anchors = jax.lax.stop_gradient(anchors_2d).transpose(
-                1, 0, 2, 3
-            ).reshape(V * B, J, 2)
+            anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
             per_view = MSDeformAttnLazy(
                 d_model=self.embed_dims,
                 n_heads=self.cfg.cross_attn.num_heads,
@@ -137,7 +136,7 @@ class MultiViewTransformerLayer(nn.Module):
                 name="cross_attn",
             )(qv, anchors, fr, self.feat_shape,
               mem_kernel=mem_kernel, mem_bias=mem_bias, mem_pos=mem_pos)
-            per_view = per_view.reshape(V, B, J, C).transpose(1, 0, 2, 3)
+            per_view = per_view.reshape(B, V, J, C)
             per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
 
         fused = per_view.transpose(0, 2, 1, 3).reshape(B, J, V * C)

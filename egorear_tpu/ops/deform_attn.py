@@ -435,130 +435,144 @@ def _sample_shared_smatrix(value, loc, attn_w):
 
 
 # ---------------------------------------------------------------------------
-# Fused lazy sampling kernel: samples raw features and an optional
-# batch-independent position table WITHOUT materializing the broadcast/concat
-# buffer (which the profiler showed costing ~800 MB/step of HBM traffic at
-# batch 16). The position block's index map is constant, so Pallas keeps it
-# VMEM-resident across grid steps instead of re-reading it per batch element.
+# Fused lazy sampling: a Pallas kernel builds the full bilinear sampling
+# operator S (rows = nh*Q queries, cols = H*W grid cells) ON THE MXU -- per
+# query S_q = Ry_q^T @ Cx_q, where Ry/Cx are the tiny per-axis interpolation
+# factors (attention weights folded into Ry) -- and streams it to HBM; the
+# actual sampling contractions (S @ feat, S @ pos) then run as large XLA
+# batched matmuls. Compared to building S via iota-compares over the full
+# (NQ, HW) grid per point (round-1 kernel), the per-point work drops from
+# O(NQ*HW) VPU selects to O(NQ*(H+W)) compares plus one MXU dot; in the full
+# model this took the deformable-sampling share of the b64 inference step
+# from ~18 ms to the noise floor. s_one (the border-correction ones-sample)
+# is computed exactly as sum_p (sum_h Ry)(sum_w Cx).
 # ---------------------------------------------------------------------------
 
 
-def _make_lazy_kernel(H: int, W: int, P: int, nh: int, with_pos: bool):
-    def kernel(*refs):
-        if with_pos:
-            feat_ref, pos_ref, locx_ref, locy_ref, w_ref, of_ref, op_ref, oo_ref = refs
-        else:
-            feat_ref, locx_ref, locy_ref, w_ref, of_ref, oo_ref = refs
-            pos_ref = op_ref = None  # pos_ref block: (1, HW, C)
-        NQ = locx_ref.shape[1]  # nh * Q rows, each with its own locations
-        HW = H * W
-        # NOTE: S stays f32 -- Mosaic cannot relayout the bf16 select masks
-        # here ("invalid relayout ... vector<60x4096xi1>"), and bf16
-        # accumulation showed no wall-clock win when attempted.
-        iota = jax.lax.broadcasted_iota(jnp.int32, (NQ, HW), 1)
-        S = jnp.zeros((NQ, HW), jnp.float32)
-        for p in range(P):
-            x = locx_ref[0, :, p : p + 1] * W - 0.5
-            y = locy_ref[0, :, p : p + 1] * H - 0.5
-            aw = w_ref[0, :, p : p + 1]
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            lx = x - x0
-            ly = y - y0
-            x0i = x0.astype(jnp.int32)
-            y0i = y0.astype(jnp.int32)
-            # Per x-corner pair share the flat base index: the adjacent
-            # corners live at flat0 and flat0 + 1, so one subtraction covers
-            # both compares. Out-of-range corners are killed by pre-masked
-            # weights (an aliased flat0 at a row edge then matches with
-            # weight exactly 0, which is safe). Wall-clock is neutral vs the
-            # 4-compare variant on v5e (15.9 vs 15.75 ms full model) but the
-            # VPU op count is ~25% lower.
-            okx0 = (x0i >= 0).astype(jnp.float32)
-            okx1 = (x0i + 1 < W).astype(jnp.float32)
-            for dy in (0, 1):
-                yc = y0i + dy
-                oky = ((yc >= 0) & (yc < H))
-                wy = (ly if dy else 1.0 - ly) * aw
-                w0 = wy * (1.0 - lx) * okx0
-                w1 = wy * lx * okx1
-                flat0 = jnp.where(oky, yc * W + x0i, -2)
-                d = iota - flat0
-                S = S + jnp.where(d == 0, w0, jnp.where(d == 1, w1, 0.0))
+def _make_s_builder_kernel(H: int, W: int, P: int, out_dtype):
+    def kernel(locx_ref, locy_ref, w_ref, s_ref, one_ref):
+        x = locx_ref[0] * W - 0.5  # (NQ, P)
+        y = locy_ref[0] * H - 0.5
+        aw = w_ref[0]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        NQ = x.shape[0]
 
-        Sc = S.astype(feat_ref.dtype)
-        of_ref[0] = jnp.dot(Sc, feat_ref[0], preferred_element_type=jnp.float32)
-        if with_pos:
-            op_ref[0] = jnp.dot(Sc.astype(pos_ref.dtype), pos_ref[0],
-                                preferred_element_type=jnp.float32)
-        oo_ref[0] = jnp.sum(S, axis=1, keepdims=True)
+        # Per-axis interpolation factors with exact zero-padding semantics:
+        # each (query, point) row holds (1-frac) at corner0 and frac at
+        # corner0+1, out-of-range corners dropped per axis.
+        ih = jax.lax.broadcasted_iota(jnp.int32, (NQ, P, H), 2)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (NQ, P, W), 2)
+        y0e = y0i[..., None]
+        x0e = x0i[..., None]
+        ry = (jnp.where((ih == y0e) & (y0e >= 0), (1.0 - ly)[..., None], 0.0)
+              + jnp.where((ih == y0e + 1) & (y0e + 1 < H), ly[..., None], 0.0))
+        ry = ry * aw[..., None]
+        cx = (jnp.where((iw == x0e) & (x0e >= 0), (1.0 - lx)[..., None], 0.0)
+              + jnp.where((iw == x0e + 1) & (x0e + 1 < W), lx[..., None], 0.0))
+
+        # S (NQ, H, W) = sum_p ry[:, p, :] (outer) cx[:, p, :] -- a batched
+        # MXU contraction over the point axis. The factors are cast to the
+        # output dtype first: S is consumed in out_dtype anyway, so the
+        # rounding point moves from the product to the factors (comparable
+        # error) and the MXU runs at its fast-input rate.
+        S = jax.lax.dot_general(
+            ry.astype(out_dtype), cx.astype(out_dtype),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s_ref[0] = S.astype(out_dtype)
+        one_ref[0] = jnp.sum(
+            jnp.sum(ry, axis=2) * jnp.sum(cx, axis=2), axis=1
+        )[:, None]
 
     return kernel
+
+
+def _build_s_operator(loc, attn_w, H, W, out_dtype):
+    """S (B, nh*Q, H*W) in ``out_dtype`` + exact row sums (B, nh*Q, 1) f32.
+
+    loc (B, Q, nh, P, 2) in [0,1]; attn_w (B, Q, nh, P). Query rows are
+    padded to a multiple of 8 sublanes inside the kernel call.
+    """
+    B, Q, nh, P = attn_w.shape
+    NQ = nh * Q
+    locf = loc.transpose(0, 2, 1, 3, 4).reshape(B, NQ, P, 2).astype(jnp.float32)
+    wf = attn_w.transpose(0, 2, 1, 3).reshape(B, NQ, P).astype(jnp.float32)
+    NQp = -(-NQ // 8) * 8
+    if NQp != NQ:
+        pad = ((0, 0), (0, NQp - NQ), (0, 0))
+        locf = jnp.pad(locf, pad + ((0, 0),))
+        wf = jnp.pad(wf, pad)  # zero rows -> zero S rows, sliced off below
+
+    S, s_one = pl.pallas_call(
+        _make_s_builder_kernel(H, W, P, out_dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, NQp, P), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec((1, NQp, H, W), lambda b: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, NQp, 1), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, NQp, H, W), out_dtype),
+                   jax.ShapeDtypeStruct((B, NQp, 1), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * NQp * P * H * W,
+            bytes_accessed=B * NQp * (H * W * jnp.dtype(out_dtype).itemsize
+                                      + P * 12),
+            transcendentals=0,
+        ),
+    )(locf[..., 0], locf[..., 1], wf)
+    # S keeps the padded row count and its native (B, NQp, H, W) shape:
+    # slicing or reshaping here would copy the whole operator; callers
+    # contract the (H, W) dims directly and slice the small outputs.
+    return S, s_one
 
 
 def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
     feat, loc, attn_w = map(jnp.asarray, (feat, loc, attn_w))
     B, HW, Cin = feat.shape
-    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    Q, nh = loc.shape[1], loc.shape[2]
     H = W = int(HW**0.5)
-    NQ = nh * Q
 
-    locf = loc.transpose(0, 2, 1, 3, 4).reshape(B, NQ, P, 2).astype(jnp.float32)
-    wf = attn_w.transpose(0, 2, 1, 3).reshape(B, NQ, P).astype(jnp.float32)
-
-    with_pos = pos is not None
-    ins = [feat]
-    in_specs = [pl.BlockSpec((1, HW, Cin), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    if with_pos:
+    S, s_one_flat = _build_s_operator(loc, attn_w, H, W, feat.dtype)
+    NQ, NQp = nh * Q, S.shape[1]
+    # Contract the grid dims (H, W) of the 4-D S directly -- XLA folds the
+    # (HW <-> H, W) reshapes into the dots as bitcasts, where an explicit
+    # jnp.reshape of the 500 MB operator materialized a copy.
+    s_feat_flat = jnp.einsum(
+        "bqhw,bhwc->bqc", S, feat.reshape(B, H, W, Cin),
+        preferred_element_type=jnp.float32,
+    )  # (B, NQp, Cin)
+    s_pos_flat = None
+    if pos is not None:
         pos = jnp.asarray(pos)
-        C = pos.shape[-1]
         if pos.ndim == 2:
             pos = pos[None]
         G = pos.shape[0]
         assert B % G == 0, (B, G)
-        per_group = B // G
-        ins.append(pos)
-        # Constant within each group of consecutive grid steps, so Pallas
-        # keeps the block VMEM-resident instead of re-reading per batch.
-        in_specs.append(pl.BlockSpec(
-            (1, HW, C), lambda b: (b // per_group, 0, 0),
-            memory_space=pltpu.VMEM,
-        ))
-    ins += [locf[..., 0], locf[..., 1], wf]
-    in_specs += [pl.BlockSpec((1, NQ, P), lambda b: (b, 0, 0),
-                              memory_space=pltpu.VMEM)] * 3
-
-    out_shape = [jax.ShapeDtypeStruct((B, NQ, Cin), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, NQ, Cin), lambda b: (b, 0, 0),
-                              memory_space=pltpu.VMEM)]
-    if with_pos:
-        out_shape.append(jax.ShapeDtypeStruct((B, NQ, pos.shape[-1]), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, NQ, pos.shape[-1]), lambda b: (b, 0, 0),
-                                      memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((B, NQ, 1), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, NQ, 1), lambda b: (b, 0, 0),
-                                  memory_space=pltpu.VMEM))
-
-    outs = pl.pallas_call(
-        _make_lazy_kernel(H, W, P, nh, with_pos),
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * NQ * HW * (Cin + (pos.shape[-1] if with_pos else 0)),
-            bytes_accessed=B * HW * Cin * 2 + NQ * P * 12 * B,
-            transcendentals=0,
-        ),
-    )(*ins)
+        # The batch axis interleaves the G groups (batch-major (B, V) fold:
+        # batch index = b * G + g), so callers need no view-major transpose
+        # of the feature grid; one batched contraction per group.
+        Sg = S.reshape(B // G, G, NQp, H, W)
+        s_pos_flat = jnp.einsum(
+            "bgqhw,ghwc->bgqc",
+            Sg, pos.astype(S.dtype).reshape(G, H, W, pos.shape[-1]),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, NQp, pos.shape[-1])
 
     def _split(o):
-        return o.reshape(B, nh, Q, -1).transpose(0, 2, 1, 3)
+        # Padded query rows are zeros; drop them on the small outputs.
+        return o[:, :NQ].reshape(B, nh, Q, -1).transpose(0, 2, 1, 3)
 
-    s_feat = _split(outs[0]).astype(feat.dtype)
-    s_pos = _split(outs[1]).astype(feat.dtype) if with_pos else None
-    s_one = _split(outs[-1]).astype(feat.dtype)
+    s_feat = _split(s_feat_flat).astype(feat.dtype)
+    s_pos = (_split(s_pos_flat).astype(feat.dtype)
+             if s_pos_flat is not None else None)
+    s_one = _split(s_one_flat).astype(feat.dtype)
     return s_feat, s_pos, s_one
 
 
@@ -571,9 +585,9 @@ def _lazy_sample_reference(feat, loc, attn_w, pos):
     if pos is not None:
         if pos.ndim == 2:
             pos_b = jnp.broadcast_to(pos[None], (B,) + pos.shape)
-        else:  # (G, HW, C) grouped over consecutive batch blocks
+        else:  # (G, HW, C), groups interleaved along the batch (b*G + g)
             G = pos.shape[0]
-            pos_b = jnp.repeat(pos, B // G, axis=0)
+            pos_b = jnp.tile(pos, (B // G, 1, 1))
         parts.append(pos_b.astype(feat.dtype))
     parts.append(jnp.ones((B, HW, 1), feat.dtype))
     buf = jnp.concatenate(parts, axis=-1).reshape(B, H, W, -1)
@@ -615,8 +629,8 @@ def lazy_deform_sample(feat, loc, attn_w, pos=None, impl: str = "auto"):
     deformable locations, returning (s_feat, s_pos|None, s_one).
 
     feat (B, HW, Cin); loc (B, Q, nh, P, 2); attn_w (B, Q, nh, P);
-    pos (HW, C) or (G, HW, C) with the batch grouped as G consecutive
-    blocks (e.g. views-major folding) so each pos block stays VMEM-resident.
+    pos (HW, C) or (G, HW, C) with the G groups INTERLEAVED along the batch
+    (batch index = b * G + g, i.e. a batch-major (B, V) fold with G = V).
     The ones-sample s_one rescales additive constants at zero-padded borders.
     """
     if impl == "auto":

@@ -142,3 +142,72 @@ def test_shared_pallas_backward_is_smatrix(case):
         )
     for a, b in zip(g_ref, g_pl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_lazy_sample_pallas_matches_reference(case):
+    """The fused lazy path (the model's hot kernel): Pallas S-builder vs the
+    differentiable reference, including locations >1 px out of bounds on
+    every side (regression: the round-1 kernel mis-sampled x-corners beyond
+    the left/right edges) and a query-row count that is not a multiple of 8."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from egorear_tpu.ops.deform_attn import (
+        _lazy_sample_reference,
+        lazy_deform_sample,
+    )
+
+    rng = np.random.default_rng(2)
+    B, H, W, Cin, Q, nh, P = 4, 16, 16, 24, 15, 4, 16  # nh*Q = 60 rows
+    feat = rng.normal(size=(B, H * W, Cin)).astype(np.float32)
+    loc = rng.uniform(-0.3, 1.3, size=(B, Q, nh, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Q, nh, P)).astype(np.float32)
+    w /= w.sum(axis=-1, keepdims=True)
+    pos = rng.normal(size=(2, H * W, 8)).astype(np.float32)  # G=2 groups
+
+    for p in (None, pos):
+        want = _lazy_sample_reference(feat, loc, w, p)
+        with pltpu.force_tpu_interpret_mode():
+            got = lazy_deform_sample(feat, loc, w, pos=p, impl="pallas")
+        for g, ww in zip(got, want):
+            if ww is None:
+                assert g is None
+                continue
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(ww), atol=1e-4
+            )
+
+
+def test_lazy_sample_gradients_flow_through_reference():
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    from egorear_tpu.ops.deform_attn import (
+        _lazy_sample_reference,
+        lazy_deform_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    B, H, W, Cin, Q, nh, P = 2, 8, 8, 8, 5, 2, 4
+    feat = jnp.asarray(rng.normal(size=(B, H * W, Cin)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, size=(B, Q, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, nh, P)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(H * W, 6)), jnp.float32)
+
+    def loss(fn, fe, l, ww):
+        s_feat, s_pos, s_one = fn(fe, l, ww, pos)
+        return (s_feat**2).sum() + (s_pos**2).sum() + (s_one**2).sum()
+
+    g_ref = jax.grad(
+        lambda *a: loss(lambda fe, l, ww, p: _lazy_sample_reference(fe, l, ww, p), *a),
+        argnums=(0, 1, 2),
+    )(feat, loc, w)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(
+            lambda *a: loss(
+                lambda fe, l, ww, p: lazy_deform_sample(fe, l, ww, pos=p, impl="pallas"),
+                *a,
+            ),
+            argnums=(0, 1, 2),
+        )(feat, loc, w)
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
