@@ -27,10 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_PYTORCH_FPS_FALLBACK = 250.0
 
 
+def _enable_compile_cache():
+    # Persistent compilation cache (best effort): ~10 full-model compiles on
+    # a 1-core host dominate bench wall-clock; repeat runs become fast.
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    _enable_compile_cache()
 
     from __graft_entry__ import _build
 
@@ -49,36 +67,67 @@ def main():
         variables_f32,
     )
 
+    # Weights are closed over as jit constants (inference serving semantics:
+    # fixed weights, varying inputs) -- per-call pytree dispatch of ~500
+    # param leaves cost ~1.5 ms/step on this host's single CPU core.
+    def _body_bf16(im):
+        preds3d, hms = net.apply(variables_bf16, im, rig)
+        return preds3d[-1], hms[-1]
+
+    fwd_bf16 = jax.jit(_body_bf16)
+
+    # The f32 path keeps params as ARGUMENTS: embedding both precision
+    # variants as executable constants exhausts HBM, and dispatch overhead
+    # is irrelevant for the (slower) parity-precision config.
     @jax.jit
-    def fwd(v, im):
+    def fwd_f32(v, im):
         preds3d, hms = net.apply(v, im, rig)
         return preds3d[-1], hms[-1]
+
+    # Chunked dispatch: K sub-batches per jitted call via lax.map amortizes
+    # the remaining host dispatch overhead across K device steps.
+    @jax.jit
+    def fwd_bf16_x4(imgs):  # (4, b, 4, 3, 256, 256)
+        return jax.lax.map(_body_bf16, imgs)
 
     results = {}
     best = (0.0, None)
     # The lazy deform path cut activation memory enough for batch 64+;
     # OOM-ing configs are skipped gracefully.
-    for batch, dtype in [(1, jnp.bfloat16), (8, jnp.bfloat16),
-                         (16, jnp.bfloat16), (32, jnp.bfloat16),
-                         (64, jnp.bfloat16), (128, jnp.bfloat16),
-                         (16, jnp.float32)]:
-        img = jnp.asarray(
-            rng.normal(size=(batch, 4, 3, 256, 256)), dtype=dtype
-        )
-        variables = variables_bf16 if dtype == jnp.bfloat16 else variables_f32
-        key = f"b{batch}_{jnp.dtype(dtype).name}"
+    for batch, dtype, chunks in [(1, jnp.bfloat16, 1),
+                                 (16, jnp.bfloat16, 1),
+                                 (64, jnp.bfloat16, 1),
+                                 (128, jnp.bfloat16, 1),
+                                 (64, jnp.bfloat16, 4),
+                                 (16, jnp.float32, 1)]:
+        shape = (batch, 4, 3, 256, 256)
+        if chunks > 1:
+            shape = (chunks,) + shape
+        img = jnp.asarray(rng.normal(size=shape), dtype=dtype)
+        if chunks > 1:
+            f = fwd_bf16_x4
+            args = (img,)
+        elif dtype == jnp.bfloat16:
+            f = fwd_bf16
+            args = (img,)
+        else:
+            f = fwd_f32
+            args = (variables_f32, img)
+        key = f"b{batch}_{jnp.dtype(dtype).name}" + (
+            f"_x{chunks}" if chunks > 1 else "")
 
         try:
-            out = fwd(variables, img)
+            out = f(*args)
             jax.block_until_ready(out)
             # Timed runs.
-            n_iter = max(8, int(256 // batch))
+            frames = batch * chunks
+            n_iter = max(8, int(256 // frames))
             t0 = time.perf_counter()
             for _ in range(n_iter):
-                out = fwd(variables, img)
+                out = f(*args)
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
-            fps = batch * n_iter / dt
+            fps = frames * n_iter / dt
         except Exception as e:  # noqa: BLE001 -- typically HBM OOM
             results[key] = f"skipped: {type(e).__name__}"
             continue
@@ -140,6 +189,7 @@ def bench_training(precision: str = "bf16-mixed", emit: bool = True) -> float:
     from __graft_entry__ import _build
     from egorear_tpu.ops.metrics import mpjpe_loss
 
+    _enable_compile_cache()
     net, rig, _ = _build((256, 256))
     B = 8
     rng = np.random.default_rng(0)

@@ -52,7 +52,10 @@ from egorear_tpu.models.layers import (
 )
 from egorear_tpu.ops.heatmap import argmax_2d
 
-relu = nn.relu
+def relu(x):
+    # plain HLO (not jax.nn.relu's inner jit) so XLA fuses it into
+    # producing conv/dot epilogues (see backbone._relu)
+    return jnp.maximum(x, 0)
 
 
 class MultiViewTransformerLayer(nn.Module):
@@ -408,7 +411,10 @@ class HeatmapMVFexNet(nn.Module):
     # -- stage-1 dispatch over the front/back stereo pairs ------------------
 
     def _estimator_outputs(self, img, train):
-        """Full stage-1: heatmaps + FPN feats + pyramid, views concatenated."""
+        """Full stage-1: heatmaps + FPN feats + backbone bottom (s32), views
+        concatenated. Only the LAST pyramid level is consumed downstream
+        (the JQA pooled-bottom features), so the s4/s8/s16 levels are never
+        concatenated across the stereo pairs."""
         cfg = self.cfg
         if cfg.num_views >= 3:
             hm_f, feat_f, pyr_f = self.heatmap_estimator_stereo_front(
@@ -419,14 +425,13 @@ class HeatmapMVFexNet(nn.Module):
             )
             hm = jnp.concatenate([hm_f, hm_b], axis=1)
             feat = jnp.concatenate([feat_f, feat_b], axis=1)
-            pyramid = [
-                jnp.concatenate([a, b], axis=1) for a, b in zip(pyr_f, pyr_b)
-            ]
+            bfb = jnp.concatenate([pyr_f[-1], pyr_b[-1]], axis=1)
         else:
             hm, feat, pyramid = self.heatmap_estimator_stereo_front(
                 img, train, return_feat=True
             )
-        return hm, feat, pyramid
+            bfb = pyramid[-1]
+        return hm, feat, bfb
 
     def _estimator_features(self, img, train):
         cfg = self.cfg
@@ -438,14 +443,13 @@ class HeatmapMVFexNet(nn.Module):
                 img[:, 2:], train
             )
             feat = jnp.concatenate([feat_f, feat_b], axis=1)
-            pyramid = [
-                jnp.concatenate([a, b], axis=1) for a, b in zip(pyr_f, pyr_b)
-            ]
+            bfb = jnp.concatenate([pyr_f[-1], pyr_b[-1]], axis=1)
         else:
             feat, pyramid = self.heatmap_estimator_stereo_front.backbone_features(
                 img, train
             )
-        return feat, pyramid
+            bfb = pyramid[-1]
+        return feat, bfb
 
     def _heatmaps_from_feat(self, feat):
         """Conv-stack heads at the MVFEX level (used when not use_1by1_conv)."""
@@ -489,12 +493,11 @@ class HeatmapMVFexNet(nn.Module):
 
         # ---- stage-1 with the reference detach policy (:236-297) ----
         if self.use_1by1_conv:
-            hm_init, feat_init, pyramid_init = self._estimator_outputs(img, train)
+            hm_init, feat_init, bfb_init = self._estimator_outputs(img, train)
             if not cfg.full_training:
-                hm_init, feat_init, pyramid_init = jax.tree.map(
-                    sg, (hm_init, feat_init, pyramid_init)
+                hm_init, feat_init, bfb_init = jax.tree.map(
+                    sg, (hm_init, feat_init, bfb_init)
                 )
-            bfb_init = pyramid_init[-1]
             if cfg.use_pred_heatmap_init:
                 hm_for_refine = sg(hm_init)
                 if cfg.no_detach_feat_init:
@@ -504,12 +507,11 @@ class HeatmapMVFexNet(nn.Module):
             else:
                 hm_for_refine, feat, bfb = hm_init, feat_init, bfb_init
         else:
-            feat_init, pyramid_init = self._estimator_features(img, train)
+            feat_init, bfb_init = self._estimator_features(img, train)
             if not cfg.full_training:
-                feat_init, pyramid_init = jax.tree.map(
-                    sg, (feat_init, pyramid_init)
+                feat_init, bfb_init = jax.tree.map(
+                    sg, (feat_init, bfb_init)
                 )
-            bfb_init = pyramid_init[-1]
             if cfg.use_pred_heatmap_init:
                 hm_init = self._heatmaps_from_feat(sg(feat_init))
                 hm_for_refine = sg(hm_init)

@@ -45,7 +45,10 @@ from egorear_tpu.models.layers import (
 from egorear_tpu.models.mvfex import HeatmapMVFexNet, MultiViewTransformerLayer
 from egorear_tpu.ops.camera import CameraRig
 
-relu = nn.relu
+def relu(x):
+    # plain HLO (not jax.nn.relu's inner jit) so XLA fuses it into
+    # producing conv/dot epilogues (see backbone._relu)
+    return jnp.maximum(x, 0)
 
 
 class Pose3DLifter(nn.Module):

@@ -449,87 +449,138 @@ def _sample_shared_smatrix(value, loc, attn_w):
 # ---------------------------------------------------------------------------
 
 
-def _make_s_builder_kernel(H: int, W: int, P: int, out_dtype):
-    def kernel(locx_ref, locy_ref, w_ref, s_ref, one_ref):
-        x = locx_ref[0] * W - 0.5  # (NQ, P)
-        y = locy_ref[0] * H - 0.5
-        aw = w_ref[0]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        NQ = x.shape[0]
+def _s_build_jp() -> int:
+    """Queries packed per MXU matmul in the S builder (power of two).
 
-        # Per-axis interpolation factors with exact zero-padding semantics:
-        # each (query, point) row holds (1-frac) at corner0 and frac at
-        # corner0+1, out-of-range corners dropped per axis.
-        ih = jax.lax.broadcasted_iota(jnp.int32, (NQ, P, H), 2)
-        iw = jax.lax.broadcasted_iota(jnp.int32, (NQ, P, W), 2)
-        y0e = y0i[..., None]
-        x0e = x0i[..., None]
-        ry = (jnp.where((ih == y0e) & (y0e >= 0), (1.0 - ly)[..., None], 0.0)
-              + jnp.where((ih == y0e + 1) & (y0e + 1 < H), ly[..., None], 0.0))
-        ry = ry * aw[..., None]
-        cx = (jnp.where((iw == x0e) & (x0e >= 0), (1.0 - lx)[..., None], 0.0)
-              + jnp.where((iw == x0e + 1) & (x0e + 1 < W), lx[..., None], 0.0))
+    JP queries are stacked along the M (sublane) dim of one matmul: a
+    block-diagonal Ry (JP*H, JP*P) against the stacked Cx (JP*P, W) yields
+    the JP stacked (H, W) operator maps in one MXU pass. At JP=8 this
+    replaces 64 latency-bound (64,16)@(16,64) matmuls per program with 8 of
+    (512,128)@(128,64) -- the 8x redundant MACs are free next to the
+    per-matmul latency. The M-packed output (G, JP*H, W) splits to
+    (G, JP, H, W) as a layout-free bitcast, so the downstream sampling
+    contractions stay transpose-free (a lane-packed (H, JP*W) layout was
+    tried and forced a 500 MB operator transpose). Override:
+    EGOREAR_SBUILD_JP (1 recovers the per-query form).
+    """
+    import os
 
-        # S (NQ, H, W) = sum_p ry[:, p, :] (outer) cx[:, p, :] -- a batched
-        # MXU contraction over the point axis. The factors are cast to the
-        # output dtype first: S is consumed in out_dtype anyway, so the
-        # rounding point moves from the product to the factors (comparable
-        # error) and the MXU runs at its fast-input rate.
+    return int(os.environ.get("EGOREAR_SBUILD_JP", "8"))
+
+
+def _make_s_builder_kernel(H: int, W: int, P: int, JP: int, out_dtype):
+    def kernel(t0y_ref, wy0_ref, wy1_ref, x0_ref, cx0_ref, cx1_ref, s_ref):
+        # t0y/wy0/wy1: (1, G, 1, KP) lane layout (flat sublane targets
+        # jq*H + y0 with out-of-range guards folded into the weights);
+        # x0/cx0/cx1: (1, G, KP) -- trailing-expanded in-kernel. No
+        # transposes or lane/sublane reshapes anywhere.
+        G, KP = t0y_ref.shape[1], t0y_ref.shape[3]
+        JPH = JP * H
+
+        # Block-diagonal Ry (G, JP*H, KP): query j's y-factors live in
+        # sublane rows [j*H, (j+1)*H).
+        t0y = t0y_ref[0]
+        ihh = jax.lax.broadcasted_iota(jnp.int32, (G, JPH, KP), 1)
+        ry = (jnp.where(ihh == t0y, wy0_ref[0], 0.0)
+              + jnp.where(ihh == t0y + 1, wy1_ref[0], 0.0))
+
+        # Stacked Cx (G, KP, W); iota range [0, W) bounds x-corners.
+        x0 = x0_ref[0][..., None]
+        iw = jax.lax.broadcasted_iota(jnp.int32, (G, KP, W), 2)
+        cx = (jnp.where(iw == x0, cx0_ref[0][..., None], 0.0)
+              + jnp.where(iw == x0 + 1, cx1_ref[0][..., None], 0.0))
+
+        # The factors are cast to the output dtype first: S is consumed in
+        # out_dtype anyway, so the rounding moves from the product to the
+        # factors (comparable error) at the MXU's fast-input rate.
         S = jax.lax.dot_general(
             ry.astype(out_dtype), cx.astype(out_dtype),
-            (((1,), (1,)), ((0,), (0,))),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        s_ref[0] = S.astype(out_dtype)
-        one_ref[0] = jnp.sum(
-            jnp.sum(ry, axis=2) * jnp.sum(cx, axis=2), axis=1
-        )[:, None]
+        s_ref[0] = S.astype(out_dtype)  # (G, JP*H, W)
 
     return kernel
 
 
 def _build_s_operator(loc, attn_w, H, W, out_dtype):
-    """S (B, nh*Q, H*W) in ``out_dtype`` + exact row sums (B, nh*Q, 1) f32.
+    """Sampling operator S (B, G, JP*H, W) in ``out_dtype`` -- query
+    q = g*JP + j occupies sublane rows [j*H, (j+1)*H) of pack g -- plus the
+    exact border-clipped ones-sample (B, NQp, 1) f32.
 
     loc (B, Q, nh, P, 2) in [0,1]; attn_w (B, Q, nh, P). Query rows are
-    padded to a multiple of 8 sublanes inside the kernel call.
+    padded to a multiple of JP (zero weights -> zero S rows).
     """
     B, Q, nh, P = attn_w.shape
     NQ = nh * Q
+    JP = _s_build_jp()
     locf = loc.transpose(0, 2, 1, 3, 4).reshape(B, NQ, P, 2).astype(jnp.float32)
     wf = attn_w.transpose(0, 2, 1, 3).reshape(B, NQ, P).astype(jnp.float32)
-    NQp = -(-NQ // 8) * 8
+    NQp = -(-NQ // JP) * JP
     if NQp != NQ:
         pad = ((0, 0), (0, NQp - NQ), (0, 0))
         locf = jnp.pad(locf, pad + ((0, 0),))
-        wf = jnp.pad(wf, pad)  # zero rows -> zero S rows, sliced off below
+        wf = jnp.pad(wf, pad)
+    G, KP = NQp // JP, JP * P
 
-    S, s_one = pl.pallas_call(
-        _make_s_builder_kernel(H, W, P, out_dtype),
+    x = locf[..., 0] * W - 0.5
+    y = locf[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # y-corner guards fold into the weights: a y0 outside [0, H) would alias
+    # into a NEIGHBORING query's sublane block. (x needs no guards -- the
+    # in-kernel iota range [0, W) bounds it.)
+    in_y0 = ((y0i >= 0) & (y0i < H)).astype(jnp.float32)
+    in_y1 = ((y0i + 1 >= 0) & (y0i + 1 < H)).astype(jnp.float32)
+    wy0 = (1.0 - ly) * wf * in_y0
+    wy1 = ly * wf * in_y1
+
+    # Exact ones-sample (border-clipped bilinear mass), pure jnp -- cheaper
+    # outside the kernel.
+    in_x0 = ((x0i >= 0) & (x0i < W)).astype(jnp.float32)
+    in_x1 = ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(jnp.float32)
+    span_x = in_x0 * (1.0 - lx) + in_x1 * lx
+    span_y = in_y0 * (1.0 - ly) + in_y1 * ly
+    s_one = (wf * span_x * span_y).sum(-1)[:, :, None]  # (B, NQp, 1)
+
+    # Flat sublane targets: query q = g*JP + j -> rows j*H + y0 of pack g.
+    jq = (jnp.arange(NQp, dtype=jnp.int32) % JP)[None, :, None]
+    t0y = jq * H + y0i  # (B, NQp, P)
+
+    def lane4(v):  # (B, NQp, P) -> (B, G, 1, KP)
+        return v.reshape(B, G, 1, KP)
+
+    def flat3(v):  # (B, NQp, P) -> (B, G, KP)
+        return v.reshape(B, G, KP)
+
+    ins = [lane4(t0y), lane4(wy0), lane4(wy1),
+           flat3(x0i), flat3(1.0 - lx), flat3(lx)]
+    in_specs = ([pl.BlockSpec((1, G, 1, KP), lambda b: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)] * 3
+                + [pl.BlockSpec((1, G, KP), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3)
+    S = pl.pallas_call(
+        _make_s_builder_kernel(H, W, P, JP, out_dtype),
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, NQp, P), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=(pl.BlockSpec((1, NQp, H, W), lambda b: (b, 0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, NQp, 1), lambda b: (b, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((B, NQp, H, W), out_dtype),
-                   jax.ShapeDtypeStruct((B, NQp, 1), jnp.float32)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G, JP * H, W), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, JP * H, W), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * NQp * P * H * W,
+            flops=2 * B * G * (JP * H) * KP * W,
             bytes_accessed=B * NQp * (H * W * jnp.dtype(out_dtype).itemsize
-                                      + P * 12),
+                                      + P * 24),
             transcendentals=0,
         ),
-    )(locf[..., 0], locf[..., 1], wf)
-    # S keeps the padded row count and its native (B, NQp, H, W) shape:
-    # slicing or reshaping here would copy the whole operator; callers
-    # contract the (H, W) dims directly and slice the small outputs.
+    )(*ins)
+    # S keeps the padded row count and its M-packed kernel-native shape:
+    # the (JP*H -> JP, H) sublane split is a free bitcast at the consumer;
+    # slicing or reshaping the full operator here would copy it.
     return S, s_one
 
 
@@ -540,14 +591,19 @@ def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
     H = W = int(HW**0.5)
 
     S, s_one_flat = _build_s_operator(loc, attn_w, H, W, feat.dtype)
-    NQ, NQp = nh * Q, S.shape[1]
-    # Contract the grid dims (H, W) of the 4-D S directly -- XLA folds the
-    # (HW <-> H, W) reshapes into the dots as bitcasts, where an explicit
-    # jnp.reshape of the 500 MB operator materialized a copy.
+    NQ = nh * Q
+    Gq, JPH = S.shape[1], S.shape[2]
+    JP = JPH // H
+    NQp = Gq * JP
+    # Contract the grid dims of the M-packed 5-D view directly: the sublane
+    # split (JP*H -> JP, H) and all reshapes here are layout-free bitcasts,
+    # and (h, w) stay adjacent/minor so the dots need no operand transpose
+    # (an explicit jnp.reshape of the 500 MB operator materialized a copy).
+    S5 = S.reshape(B, Gq, JP, H, W)
     s_feat_flat = jnp.einsum(
-        "bqhw,bhwc->bqc", S, feat.reshape(B, H, W, Cin),
+        "bgjhw,bhwc->bgjc", S5, feat.reshape(B, H, W, Cin),
         preferred_element_type=jnp.float32,
-    )  # (B, NQp, Cin)
+    ).reshape(B, NQp, Cin)
     s_pos_flat = None
     if pos is not None:
         pos = jnp.asarray(pos)
@@ -558,10 +614,10 @@ def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
         # The batch axis interleaves the G groups (batch-major (B, V) fold:
         # batch index = b * G + g), so callers need no view-major transpose
         # of the feature grid; one batched contraction per group.
-        Sg = S.reshape(B // G, G, NQp, H, W)
+        S6 = S5.reshape(B // G, G, Gq, JP, H, W)
         s_pos_flat = jnp.einsum(
-            "bgqhw,ghwc->bgqc",
-            Sg, pos.astype(S.dtype).reshape(G, H, W, pos.shape[-1]),
+            "bvgjhw,vhwc->bvgjc",
+            S6, pos.astype(S.dtype).reshape(G, H, W, pos.shape[-1]),
             preferred_element_type=jnp.float32,
         ).reshape(B, NQp, pos.shape[-1])
 

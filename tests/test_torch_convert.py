@@ -272,16 +272,49 @@ def test_full_cascade_conversion_numeric_parity():
     with torch.no_grad():
         want_preds, want_hms = tmodel(torch.from_numpy(img))
 
+    # ---- per-stage divergence quantification (VERDICT r1 item 6) ----
+    # Print a table of max-abs divergences at every cascade boundary and
+    # assert per-stage atols ~3x the measured envelope (PARITY.md table).
+    def maxdiff(g, w):
+        return float(np.abs(np.asarray(g, np.float64)
+                            - w.numpy().astype(np.float64)).max())
+
+    report = {}
     for i, (g, w) in enumerate(zip(got_hms, want_hms)):
-        np.testing.assert_allclose(
-            np.asarray(g), w.numpy(), atol=5e-3, rtol=1e-2,
-            err_msg=f"heatmap stage {i}",
-        )
+        report[f"heatmap_stage{i}"] = maxdiff(g, w)
     for i, (g, w) in enumerate(zip(got_preds, want_preds)):
-        np.testing.assert_allclose(
-            np.asarray(g), w.numpy(), atol=5e-3, rtol=1e-2,
-            err_msg=f"3d stage {i}",
-        )
+        report[f"pose3d_stage{i}"] = maxdiff(g, w)
+
+    # Anchor agreement: the 2D argmax indices must match EXACTLY, otherwise
+    # downstream parity is coincidental (a one-pixel anchor shift moves every
+    # deformable sampling window).
+    from egorear_tpu.ops.heatmap import argmax_2d
+
+    g_pts, _, g_valid = argmax_2d(np.asarray(got_hms[0]), threshold=0.5,
+                                  normalize=True)
+    w_pts, w_valid = tmodel.heatmap_estimator._anchors(want_hms[0], 0.5)
+    anchors_equal = np.array_equal(np.asarray(g_pts), w_pts.numpy())
+    report["anchors_bitwise_equal"] = anchors_equal
+    print("per-stage cascade divergence:",
+          {k: (v if isinstance(v, bool) else round(v, 7))
+           for k, v in report.items()})
+
+    assert anchors_equal, "anchor argmax indices diverged"
+    # Measured envelope (fp32, CPU, random weights, B=1):
+    #   heatmap stages <= 4e-7 -- the heatmap cascade is numerically exact
+    #   to fp32 round-off.
+    #   pose3d stages ~2.9e-3, ALL of it entering at the MLP proposal
+    #   (stage0) and carried additively through the refinement layers
+    #   (offsets add to detached anchors): the proposal flattens
+    #   V*128*8*8 = 32768 features into one fp32 contraction, where ~1e-5
+    #   feature-level round-off amplifies by ~sqrt(K). In metric units
+    #   that is 2.9e-3 cm = 0.03 mm -- four orders below the 1% MPJPE
+    #   parity target (~0.5 mm). Bounds are ~3x the envelope.
+    bounds = {"heatmap_stage0": 2e-6, "heatmap_stage1": 2e-6,
+              "pose3d_stage0": 9e-3, "pose3d_stage1": 9e-3,
+              "pose3d_stage2": 9e-3, "pose3d_stage3": 9e-3}
+    for k, bound in bounds.items():
+        assert report[k] <= bound, (k, report[k], bound)
 
 
 def test_torch_ckpt_graft_into_mvfex(tmp_path):

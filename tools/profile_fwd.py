@@ -137,7 +137,7 @@ def time_submodules(net, rig, variables, img):
     def stage1_only(v, im):
         def run(m, i):
             return m.heatmap_estimator._estimator_outputs(i, False)
-        hm, feat, pyr = net.apply(v, im, method=run)
+        hm, feat, bfb = net.apply(v, im, method=run)
         return hm, feat
 
     t_full = timeit(full, variables, img)
