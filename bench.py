@@ -150,12 +150,13 @@ def main():
     # fps at the two precisions, so training regressions are visible round
     # over round. Skippable via EGOREAR_BENCH_SKIP_TRAIN=1 (compile cost).
     if not os.environ.get("EGOREAR_BENCH_SKIP_TRAIN"):
+        tb = int(os.environ.get("EGOREAR_BENCH_TRAIN_BATCH", "32"))
         for prec in ("bf16-mixed", "fp32"):
             try:
                 fps = bench_training(precision=prec, emit=False)
-                results[f"train_b8_{prec}"] = round(fps, 2)
+                results[f"train_b{tb}_{prec}"] = round(fps, 2)
             except Exception as e:  # noqa: BLE001
-                results[f"train_b8_{prec}"] = f"skipped: {type(e).__name__}"
+                results[f"train_b{tb}_{prec}"] = f"skipped: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "4view_inference_fps_per_chip",
@@ -191,7 +192,9 @@ def bench_training(precision: str = "bf16-mixed", emit: bool = True) -> float:
 
     _enable_compile_cache()
     net, rig, _ = _build((256, 256))
-    B = 8
+    # Default 32 = the reference's own pose3d per-device train batch
+    # (configs/ego4view_syn_pose3d.yaml).
+    B = int(os.environ.get("EGOREAR_BENCH_TRAIN_BATCH", "32"))
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(B, 4, 3, 256, 256)), jnp.float32)
     gt_pose = jnp.asarray(rng.normal(size=(B, 16, 3)) * 30, jnp.float32)

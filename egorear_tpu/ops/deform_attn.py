@@ -665,16 +665,112 @@ def _lazy_fwd_rule(feat, loc, attn_w, pos):
 
 
 def _lazy_bwd_rule(res, g):
+    """Analytic VJP of the lazy sampling op.
+
+    The round-1 backward ran generic AD through the jnp reference twin --
+    recomputing the full forward (incl. a f32 (NQ, HW) smatrix operator in
+    HBM) and transposing it, ~7 of the 8 ms of the b8 train step's refiner
+    backward. Analytically:
+
+      d_feat = S^T-contraction of g_feat   (one batched matmul; S rebuilt
+               by the non-differentiable Pallas builder),
+      d_pos  = group-summed S^T-contraction of g_pos,
+      d_loc / d_attn_w = corner gathers of the per-query adjoint field
+               A[b,qn,hw] = feat.g_feat + pos.g_pos + g_one  (two batched
+               matmuls + a 64-wide take_along_axis), combined with the
+               bilinear corner weights / their derivatives. Border masks are
+               piecewise-constant in AD, matching the reference's discrete
+               one-hot masks.
+    """
     feat, loc, attn_w, pos = res
-    if pos is None:
-        def f(fe, l, w):
-            o = _lazy_sample_reference(fe, l, w, None)
-            return (o[0], o[2])
-        _, vjp = jax.vjp(f, feat, loc, attn_w)
-        dfe, dl, dw = vjp((g[0], g[2]))
-        return dfe, dl, dw, None
-    _, vjp = jax.vjp(_lazy_sample_reference, feat, loc, attn_w, pos)
-    return vjp(g)
+    g_feat, g_pos, g_one = g
+    B, HW, Cin = feat.shape
+    Q, nh, P = loc.shape[1], loc.shape[2], loc.shape[3]
+    H = W = int(HW**0.5)
+    NQ = nh * Q
+
+    S, _ = _build_s_operator(loc, attn_w, H, W, feat.dtype)
+    Gq, JPH = S.shape[1], S.shape[2]
+    JP = JPH // H
+    NQp = Gq * JP
+    S5 = S.reshape(B, Gq, JP, H, W)
+
+    def pack(gx):  # (B, Q, nh, X) -> (B, Gq, JP, X), head-major rows
+        flat = gx.transpose(0, 2, 1, 3).reshape(B, NQ, gx.shape[-1])
+        if NQp != NQ:
+            flat = jnp.pad(flat, ((0, 0), (0, NQp - NQ), (0, 0)))
+        return flat.reshape(B, Gq, JP, gx.shape[-1])
+
+    gf = pack(g_feat).astype(S.dtype)
+    d_feat = jnp.einsum(
+        "bgjhw,bgjc->bhwc", S5, gf, preferred_element_type=jnp.float32,
+    ).reshape(B, HW, Cin).astype(feat.dtype)
+
+    d_pos = None
+    if pos is not None:
+        pos = jnp.asarray(pos)
+        pos3 = pos[None] if pos.ndim == 2 else pos
+        G = pos3.shape[0]
+        gp = pack(g_pos).astype(S.dtype)
+        S6 = S5.reshape(B // G, G, Gq, JP, H, W)
+        d_pos3 = jnp.einsum(
+            "bvgjhw,bvgjc->vhwc",
+            S6, gp.reshape(B // G, G, Gq, JP, -1),
+            preferred_element_type=jnp.float32,
+        ).reshape(G, HW, pos3.shape[-1]).astype(pos.dtype)
+        d_pos = d_pos3[0] if pos.ndim == 2 else d_pos3
+
+    # ---- adjoint field A (B, Q, nh, HW) in f32 ----
+    A = jnp.einsum("bqnc,bsc->bqns", g_feat.astype(feat.dtype), feat,
+                   preferred_element_type=jnp.float32)
+    if pos is not None:
+        gp4 = g_pos.reshape(B // G, G, Q, nh, -1).astype(pos3.dtype)
+        A = A + jnp.einsum(
+            "bvqnc,vsc->bvqns", gp4, pos3,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, Q, nh, HW)
+    A = A + g_one.astype(jnp.float32)  # ones channel: constant over hw
+
+    # ---- per-point adjoint contractions via separable one-hot factors ----
+    # (corner GATHERS from A were 14 ms/step of TPU scalar-gather; as two
+    # small batched matmuls against the per-axis one-hot factors the same
+    # quantities are ~1 ms of MXU work)
+    f32 = jnp.float32
+    x = loc[..., 0].astype(f32) * W - 0.5  # (B, Q, nh, P)
+    y = loc[..., 1].astype(f32) * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def onehots(c0, n):
+        iota = jax.lax.broadcasted_iota(jnp.int32, c0.shape + (n,), c0.ndim)
+        c0e = c0[..., None]
+        o0 = ((iota == c0e) & (c0e >= 0) & (c0e < n)).astype(f32)
+        o1 = ((iota == c0e + 1) & (c0e + 1 >= 0) & (c0e + 1 < n)).astype(f32)
+        return o0, o1
+
+    o0y, o1y = onehots(y0i, H)  # (B, Q, nh, P, H), border-masked
+    o0x, o1x = onehots(x0i, W)
+    ry = o0y * (1.0 - ly)[..., None] + o1y * ly[..., None]
+    cx = o0x * (1.0 - lx)[..., None] + o1x * lx[..., None]
+    dry = o1y - o0y  # d ry / d y_pixel
+    dcx = o1x - o0x
+
+    A2 = A.reshape(B, Q, nh, H, W)
+    acx = jnp.einsum("bqnhw,bqnpw->bqnph", A2, cx,
+                     preferred_element_type=f32)
+    ady = jnp.einsum("bqnhw,bqnph->bqnpw", A2, ry,
+                     preferred_element_type=f32)
+
+    d_w = jnp.einsum("bqnph,bqnph->bqnp", acx, ry).astype(attn_w.dtype)
+    aw = attn_w.astype(f32)
+    d_x = aw * W * jnp.einsum("bqnpw,bqnpw->bqnp", ady, dcx)
+    d_y = aw * H * jnp.einsum("bqnph,bqnph->bqnp", acx, dry)
+    d_loc = jnp.stack([d_x, d_y], axis=-1).astype(loc.dtype)
+    return d_feat, d_loc, d_w, d_pos
 
 
 _lazy_sample.defvjp(_lazy_fwd_rule, _lazy_bwd_rule)

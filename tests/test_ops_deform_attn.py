@@ -187,27 +187,29 @@ def test_lazy_sample_gradients_flow_through_reference():
     )
 
     rng = np.random.default_rng(3)
-    B, H, W, Cin, Q, nh, P = 2, 8, 8, 8, 5, 2, 4
+    B, H, W, Cin, Q, nh, P = 4, 8, 8, 8, 5, 2, 4
     feat = jnp.asarray(rng.normal(size=(B, H * W, Cin)), jnp.float32)
-    loc = jnp.asarray(rng.uniform(-0.1, 1.1, size=(B, Q, nh, P, 2)), jnp.float32)
+    # includes locations far outside the grid (> 1 px beyond every border)
+    loc = jnp.asarray(rng.uniform(-0.4, 1.4, size=(B, Q, nh, P, 2)), jnp.float32)
     w = jnp.asarray(rng.uniform(size=(B, Q, nh, P)), jnp.float32)
-    pos = jnp.asarray(rng.normal(size=(H * W, 6)), jnp.float32)
+    # grouped pos table (G=2), groups interleaved along the batch
+    pos = jnp.asarray(rng.normal(size=(2, H * W, 6)), jnp.float32)
 
-    def loss(fn, fe, l, ww):
-        s_feat, s_pos, s_one = fn(fe, l, ww, pos)
+    def loss(fn, fe, l, ww, p):
+        s_feat, s_pos, s_one = fn(fe, l, ww, p)
         return (s_feat**2).sum() + (s_pos**2).sum() + (s_one**2).sum()
 
     g_ref = jax.grad(
         lambda *a: loss(lambda fe, l, ww, p: _lazy_sample_reference(fe, l, ww, p), *a),
-        argnums=(0, 1, 2),
-    )(feat, loc, w)
+        argnums=(0, 1, 2, 3),
+    )(feat, loc, w, pos)
     with pltpu.force_tpu_interpret_mode():
         g_pl = jax.grad(
             lambda *a: loss(
                 lambda fe, l, ww, p: lazy_deform_sample(fe, l, ww, pos=p, impl="pallas"),
                 *a,
             ),
-            argnums=(0, 1, 2),
-        )(feat, loc, w)
+            argnums=(0, 1, 2, 3),
+        )(feat, loc, w, pos)
     for a, b in zip(g_ref, g_pl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
