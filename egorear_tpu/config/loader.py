@@ -103,6 +103,9 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
         precision=str(traw.get("precision", "32")),
         seed=seed,
         devices=(None if traw.get("devices") in (None, "auto") else int(traw["devices"])),
+        # TPU-native extension: --trainer.model_parallel N adds a 'model'
+        # mesh axis that tensor-shards the wide kernels (parallel/mesh.py).
+        model_parallel=int(traw.get("model_parallel", 1)),
     )
     # Lightning logger/callback blocks: pull what matters, ignore the rest.
     for lg in traw.get("logger", []) or []:
@@ -119,6 +122,7 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
         "max_epochs", "check_val_every_n_epoch", "log_every_n_steps",
         "gradient_clip_val", "gradient_clip_algorithm", "precision", "devices",
         "logger", "callbacks", "benchmark", "save_dir", "default_root_dir",
+        "model_parallel",
     }
     if ignored:
         logger.info(f"ignoring trainer keys: {sorted(ignored)}")

@@ -22,17 +22,23 @@ import jax.numpy as jnp
 from egorear_tpu.models.backbone import BackboneWithFPN
 
 
-def fold_views(img: jnp.ndarray) -> jnp.ndarray:
+def fold_views(img: jnp.ndarray, layout: str = "auto") -> jnp.ndarray:
     """(B, V, 3, H, W) NCHW or (B, V, H, W, 3) NHWC -> (B*V, H, W, 3).
 
     NCHW is the reference's public contract (egoposeformer_heatmap.py:29);
     NHWC is accepted too because the decode pipeline is HWC-native and
     feeding it directly skips a full transpose pass over the input batch
-    (~2 ms/step at batch 64 on v5e).
+    (~2 ms/step at batch 64 on v5e). ``layout`` may pin "nchw"/"nhwc"
+    explicitly; "auto" disambiguates by which axis equals 3 and resolves the
+    degenerate 3x3-spatial tie toward NCHW (the reference contract) -- pass
+    an explicit layout for such inputs.
     """
     B, V = img.shape[:2]
-    if img.shape[2] == 3 and img.shape[-1] != 3:  # NCHW
+    if layout == "auto":
+        layout = "nchw" if img.shape[2] == 3 else "nhwc"
+    if layout == "nchw":
         _, _, C, H, W = img.shape
+        assert C == 3, f"not an NCHW image batch: {img.shape}"
         return img.reshape(B * V, C, H, W).transpose(0, 2, 3, 1)
     assert img.shape[-1] == 3, f"unrecognized image layout {img.shape}"
     return img.reshape(B * V, *img.shape[2:])

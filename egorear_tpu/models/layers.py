@@ -262,7 +262,10 @@ class MSDeformAttnLazy(nn.Module):
         spatial_shape,  # static (H, W)
         mem_kernel: Optional[jnp.ndarray] = None,  # (Cin, C)
         mem_bias: Optional[jnp.ndarray] = None,  # (C,)
-        mem_pos: Optional[jnp.ndarray] = None,  # (H*W, C) or (G, H*W, C)
+        mem_pos: Optional[jnp.ndarray] = None,  # (H*W, C) shared, or
+        # (G, H*W, C): per-group tables INTERLEAVED along batch -- batch
+        # element i uses group table i % G (callers fold (B, V) batch-major,
+        # i = b*V + v, so G = V gives each view its own table).
     ):
         from egorear_tpu.ops.deform_attn import lazy_deform_sample
 
@@ -296,8 +299,8 @@ class MSDeformAttnLazy(nn.Module):
 
         # Fused sampling of raw features + (optional) pos table + implicit
         # ones channel; no broadcast/concat buffer is materialized. A 3-dim
-        # pos (G, HW, C) is grouped over consecutive batch blocks (callers
-        # fold views-major so each view's table stays VMEM-resident).
+        # pos (G, HW, C) is matched to batch elements interleaved: element i
+        # samples group table i % G (batch-major (B, V) fold, i = b*V + v).
         pos = None
         if mem_pos is not None:
             pos = mem_pos.astype(feat_raw.dtype)

@@ -86,6 +86,7 @@ class MultiViewTransformerLayer(nn.Module):
         mem_kernel: Optional[jnp.ndarray] = None,  # (Cin, C)
         mem_bias: Optional[jnp.ndarray] = None,  # (C,)
         mem_pos: Optional[jnp.ndarray] = None,  # (V, HW, C)
+        train: bool = False,
     ) -> jnp.ndarray:
         B, J, C = query.shape
         V = self.num_views
@@ -159,7 +160,7 @@ class MultiViewTransformerLayer(nn.Module):
             self.cfg.ffn.num_fcs,
             self.cfg.ffn.ffn_drop,
             name="ffn",
-        )(x)
+        )(x, deterministic=not train)
         x = nn.LayerNorm(name="norm_ffn")(x + ffn_out)
         return x
 
@@ -208,6 +209,7 @@ class MVFexRefiner(nn.Module):
         anchors_valid: jnp.ndarray,  # (B, V, J)
         bfb: jnp.ndarray,  # (B, 512) pooled backbone bottom, this view
         bfb_mv: jnp.ndarray,  # (B, V, 512) pooled backbone bottom, all views
+        train: bool = False,
     ):
         cfg = self.cfg
         B = heatmap.shape[0]
@@ -294,7 +296,8 @@ class MVFexRefiner(nn.Module):
                 name=f"transformer_{idx}",
             )(x, memory, anchors_2d, anchors_valid,
               feat_raw=feat_tokens if memory is None else None,
-              mem_kernel=mem_kernel, mem_bias=mem_bias, mem_pos=mv_pos[0])
+              mem_kernel=mem_kernel, mem_bias=mem_bias, mem_pos=mv_pos[0],
+              train=train)
 
             _x = nn.LayerNorm(name=f"post_norm_{idx}")(x)
             side = int(C**0.5)
@@ -385,10 +388,10 @@ class HeatmapMVFexNet(nn.Module):
         # compiled program refines every view at once.
         RefinerStack = nn.vmap(
             MVFexRefiner,
-            in_axes=(1, 1, None, None, None, 1, None),
+            in_axes=(1, 1, None, None, None, 1, None, None),
             out_axes=1,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
+            split_rngs={"params": True, "dropout": True},
         )
         self.refiners = RefinerStack(
             num_views=V,
@@ -543,6 +546,7 @@ class HeatmapMVFexNet(nn.Module):
             anchors_valid,
             bfb_pooled,  # (B, V, 512), axis 1
             bfb_pooled,  # broadcast
+            train,
         )
         # hm_layers: list over layers of (B, V, J, h, w); feat_layers likewise.
         list_heatmap.extend(hm_layers)

@@ -90,7 +90,16 @@ class Pose3DLifter(nn.Module):
         rig: CameraRig,
         coord_trans_mat: Optional[jnp.ndarray] = None,
         train: bool = False,
+        origin_3d: Optional[jnp.ndarray] = None,
     ) -> List[jnp.ndarray]:
+        # ``origin_3d`` is the UnrealEgo legacy pelvis-relative hook. The
+        # reference accepts it through the whole call chain but its
+        # _reproject_3d_to_2d never reads it (egoposeformer_mvf_ex.py:340-382
+        # has no unrealego branch) and no unrealego dataset/config ships in
+        # the snapshot -- so it is accepted-and-unused here too, for API
+        # parity (see PARITY.md). The projection itself exists as
+        # ops/camera.py unrealego_project.
+        del origin_3d
         cfg = self.cfg
         B, V, h, w, Cin = frame_feats_final.shape
         J = cfg.num_joints
@@ -187,7 +196,7 @@ class Pose3DLifter(nn.Module):
                 name=f"transformer_{idx}",
             )(x, memory, anchors_2d, anchors_valid,
               feat_raw=feat_tokens if memory is None else None,
-              mem_kernel=mem_kernel, mem_bias=mem_bias)
+              mem_kernel=mem_kernel, mem_bias=mem_bias, train=train)
             _x = nn.LayerNorm(name=f"post_norm_{idx}")(x)
             o = _x
             for i in range(cfg.num_pred_mlp_layers - 1):
@@ -218,6 +227,7 @@ class EgoRearNet(nn.Module):
         rig: CameraRig,
         coord_trans_mat: Optional[jnp.ndarray] = None,
         train: bool = False,
+        origin_3d: Optional[jnp.ndarray] = None,
     ):
         list_heatmap, list_feat = self.heatmap_estimator(img, train)
         preds_3d = self.pose3d_estimator(
@@ -227,5 +237,6 @@ class EgoRearNet(nn.Module):
             rig,
             coord_trans_mat,
             train,
+            origin_3d,
         )
         return preds_3d, list_heatmap

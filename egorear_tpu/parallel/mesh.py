@@ -52,22 +52,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_shardings(params, mesh: Mesh):
-    """Per-leaf NamedShardings: TP-shard wide Dense kernels, replicate rest."""
-    model_size = mesh.shape["model"]
+def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM) -> NamedSharding:
+    """Sharding for one weight of the given shape.
 
-    def rule(path, leaf):
-        shape = np.shape(leaf)
-        if model_size > 1 and len(shape) == 2:
-            # Dense kernel (in, out): shard the widest dim if divisible.
-            for axis in np.argsort(shape)[::-1]:
-                if shape[axis] >= TP_MIN_DIM and shape[axis] % model_size == 0:
-                    spec = [None, None]
-                    spec[int(axis)] = "model"
-                    return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+    2-D Dense kernels (in, out) shard their widest dim over 'model' when it
+    is >= ``min_dim`` and divisible. 3-D stacked kernels (V, in, out) -- the
+    vmapped per-view refiner weights, e.g. the 4096-wide JQA heatmap
+    projections at 256px -- shard the widest of the two TRAILING dims (the
+    leading axis is the view stack and must stay whole per view). Everything
+    else is replicated, which is optimal at this model family's sizes.
+    """
+    model_size = dict(mesh.shape).get("model", 1)
+    if model_size > 1 and len(shape) in (2, 3):
+        lead = len(shape) - 2  # skip the stacked-view axis of 3-D leaves
+        axes = sorted(range(lead, len(shape)), key=lambda a: -shape[a])
+        for axis in axes:
+            if shape[axis] >= min_dim and shape[axis] % model_size == 0:
+                spec = [None] * len(shape)
+                spec[axis] = "model"
+                return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(rule, params)
+
+def param_shardings(params, mesh: Mesh, min_dim: int = TP_MIN_DIM):
+    """Per-leaf NamedShardings: TP-shard wide kernels, replicate the rest.
+
+    Applies to any pytree of arrays/ShapeDtypeStructs (params, optimizer
+    moments, ...) -- the rule depends only on leaf shapes.
+    """
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf_sharding(np.shape(leaf), mesh, min_dim), params
+    )
 
 
 def shard_params(params, mesh: Mesh):

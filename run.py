@@ -34,6 +34,23 @@ if os.environ.get("EGOREAR_PLATFORM"):
 if os.environ.get("EGOREAR_DISTRIBUTED"):
     jax.distributed.initialize()
 
+# Persistent compilation cache: full-model compiles are minutes; cache them
+# across processes (fit/test subcommands, repeated experiments). Default is
+# <repo>/.jax_cache; override with EGOREAR_COMPILE_CACHE=<dir> or disable
+# with EGOREAR_COMPILE_CACHE=0.
+_cache = os.environ.get(
+    "EGOREAR_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+if _cache not in ("0", "", "off"):
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 import numpy as np
 
 from egorear_tpu.config.loader import load_config

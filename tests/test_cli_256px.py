@@ -1,14 +1,14 @@
-"""256px end-to-end CLI smoke test (VERDICT r1 item 8).
+"""256px end-to-end CLI smoke test (VERDICT r1 item 8, default-on since r3).
 
 Runs ``run.py fit`` + ``test`` through the real reference YAML
 (ego4view_syn_pose3d) at the full 256px geometry, so the ``side=16``
 token-map reshape family (mvfex.py) and the 64x64 feature grids are
 exercised by a test, not just by bench.
 
-The full 256px cascade exceeds the default CI budget even on the TPU (two
-cold full-model compiles in fresh subprocesses), so the test is strictly
-opt-in: set EGOREAR_RUN_256_E2E=1 to run it. The same drive is performed
-manually on the TPU each round (see PROGRESS notes).
+Part of the default gate (round-2 VERDICT missing #2): run.py now keeps a
+persistent compilation cache (<repo>/.jax_cache), so only the first-ever run
+on a host pays the two cold full-model compiles; warm runs are minutes.
+Set EGOREAR_SKIP_256_E2E=1 to opt out on hosts without TPU-or-cache budget.
 """
 
 import json
@@ -23,9 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.skipif(
-    not os.environ.get("EGOREAR_RUN_256_E2E"),
-    reason="256px e2e is opt-in (EGOREAR_RUN_256_E2E=1): two cold full-model "
-           "compiles exceed the CI budget",
+    bool(os.environ.get("EGOREAR_SKIP_256_E2E")),
+    reason="256px e2e skipped by EGOREAR_SKIP_256_E2E",
 )
 def test_fit_and_test_256px_through_reference_yaml(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "tests"))

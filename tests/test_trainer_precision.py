@@ -40,7 +40,7 @@ class _TinyTask:
     def init(self, rng, batch):
         return self.net.init(rng, batch["x"], train=False)
 
-    def loss(self, params, extra_vars, batch, train):
+    def loss(self, params, extra_vars, batch, train, rngs=None):
         out, mut = self.net.apply(
             {"params": params, **extra_vars}, batch["x"], train=True,
             mutable=["batch_stats"],

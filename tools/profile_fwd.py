@@ -47,6 +47,19 @@ def aggregate_trace(trace_dir, min_pct=0.3):
     return agg, total, pid_names
 
 
+def hlo_op_names(hlo_text):
+    """Map HLO instruction name -> op_name metadata (model scope)."""
+    import re
+
+    mapping = {}
+    pat = re.compile(r"%?([\w.\-]+) = .*metadata=\{[^}]*op_name=\"([^\"]+)\"")
+    for line in hlo_text.splitlines():
+        m = pat.search(line)
+        if m:
+            mapping[m.group(1)] = m.group(2)
+    return mapping
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     dtype_s = sys.argv[2] if len(sys.argv) > 2 else "bf16"
@@ -99,13 +112,23 @@ def main():
         jax.block_until_ready(out)
 
     agg, total, pid_names = aggregate_trace(trace_dir)
-    print(f"\ndevice total: {total/1e3/3:.2f} ms/step over 3 steps")
+    # Map opaque fusion names to model scopes via compiled-HLO metadata
+    # (the trace's instruction names match the HLO instruction names).
+    try:
+        hlo = fwd.lower(variables, img).compile().as_text()
+        scope = hlo_op_names(hlo)
+    except Exception as e:  # noqa: BLE001
+        print(f"(op_name mapping unavailable: {e})")
+        scope = {}
+    print(f"\ndevice total: {total/1e3/3:.2f} ms/step over 3 steps "
+          f"(top-level jit_* event double-counts its children)")
     print(f"{'us/step':>10}  {'%':>5}  op")
-    for name, dur in agg.most_common(45):
+    for name, dur in agg.most_common(60):
         pct = 100.0 * dur / total
         if pct < 0.25:
             break
-        print(f"{dur/3:>10.0f}  {pct:>5.1f}  {name[:110]}")
+        sc = scope.get(name, "")
+        print(f"{dur/3:>10.0f}  {pct:>5.1f}  {name[:40]:40s} {sc[-90:]}")
 
 
 def time_submodules(net, rig, variables, img):
