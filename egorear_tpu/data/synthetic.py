@@ -36,6 +36,29 @@ def _project_np(rig: CameraRig, pts_bj3: np.ndarray, mats=None) -> np.ndarray:
     return np.asarray(pts2d) * 872.0
 
 
+def _draw_pose_image(pts2d_j2: np.ndarray, size: int, rng) -> np.ndarray:
+    """Render per-joint colored Gaussian blobs at the projected 2D joints.
+
+    Makes the synthetic set genuinely learnable image->pose (the plain mode's
+    noise images carry no pose signal, so only label-side plumbing can be
+    validated): each joint gets a fixed color and a blob at its true fisheye
+    projection, over a dim noise background.
+    """
+    J = pts2d_j2.shape[0]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = rng.integers(0, 40, size=(size, size, 3)).astype(np.float32)
+    sigma = max(2.0, size / 40.0)
+    for j in range(J):
+        x, y = float(pts2d_j2[j, 0]), float(pts2d_j2[j, 1])
+        if not (0 <= x < size and 0 <= y < size):
+            continue
+        g = np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2.0 * sigma**2))
+        color = np.array([(j * 53 + 40) % 256, (j * 97 + 80) % 256,
+                          (j * 193 + 120) % 256], np.float32)
+        img += g[..., None] * color
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def make_synthetic_dataset(
     root: str,
     variant: str = "syn",
@@ -46,13 +69,18 @@ def make_synthetic_dataset(
     splits=("train", "validation", "test"),
     seed: int = 0,
     write_heatmaps: bool = False,
+    draw_pose: bool = False,
+    eval_frames_per_seq: int = None,
 ):
     """Build <root>/... with one split file per entry in ``splits``.
 
     Each split gets its own character/sequence subtree so split files point at
     disjoint data. Images are small random JPEGs/PNGs (decode path exercise);
     set ``write_heatmaps`` to also precompute fisheye_hm NPYs (otherwise use
-    render_missing_heatmaps=True in the dataset).
+    render_missing_heatmaps=True in the dataset). ``draw_pose`` renders the
+    joints into the images (see :func:`_draw_pose_image`) so training can
+    actually reduce pose error; ``eval_frames_per_seq`` shrinks the
+    validation/test splits independently of the train split.
     """
     rng = np.random.default_rng(seed)
     rig = CameraRig.from_calib_file(f"ego4view_{variant}", chained=False)
@@ -60,6 +88,8 @@ def make_synthetic_dataset(
     ext = ".jpg" if variant == "syn" else ".png"
 
     for split in splits:
+        n_frames = (frames_per_seq if split == "train" or not eval_frames_per_seq
+                    else eval_frames_per_seq)
         lines = []
         for ci in range(num_chars):
             if variant == "syn":
@@ -80,7 +110,7 @@ def make_synthetic_dataset(
 
                 # Body-like 3D poses (cm, device frame: x right, y back, z down).
                 base = np.array([0.0, 18.0, -60.0])
-                poses = base + rng.normal(scale=25.0, size=(frames_per_seq, 16, 3))
+                poses = base + rng.normal(scale=25.0, size=(n_frames, 16, 3))
                 poses[..., 2] -= 40.0  # keep joints below the cameras
 
                 mats = None
@@ -98,7 +128,7 @@ def make_synthetic_dataset(
 
                 pts2d = _project_np(rig, poses, mats)  # (F, V, J, 2)
 
-                for fi in range(frames_per_seq):
+                for fi in range(n_frames):
                     frame = f"frame_{fi:04d}"
                     jdata = {"joints": {}}
                     for j, name in enumerate(JOINT_NAMES):
@@ -109,12 +139,19 @@ def make_synthetic_dataset(
                     with open(os.path.join(seq_dir, json_dir, frame + ".json"), "w") as f:
                         json.dump(jdata, f)
 
-                    for cam in CAMERA_NAMES:
+                    for vi, cam in enumerate(CAMERA_NAMES):
                         img_dir = os.path.join(seq_dir, "fisheye_rgb", cam)
                         os.makedirs(img_dir, exist_ok=True)
-                        arr = rng.integers(
-                            0, 255, size=(image_size, image_size, 3), dtype=np.uint8
-                        )
+                        if draw_pose:
+                            arr = _draw_pose_image(
+                                pts2d[fi, vi] * (image_size / 872.0),
+                                image_size, rng,
+                            )
+                        else:
+                            arr = rng.integers(
+                                0, 255, size=(image_size, image_size, 3),
+                                dtype=np.uint8,
+                            )
                         Image.fromarray(arr).save(
                             os.path.join(img_dir, frame + ext)
                         )

@@ -446,6 +446,14 @@ def _sample_shared_smatrix(value, loc, attn_w):
 # model this took the deformable-sampling share of the b64 inference step
 # from ~18 ms to the noise floor. s_one (the border-correction ones-sample)
 # is computed exactly as sum_p (sum_h Ry)(sum_w Cx).
+#
+# Round-3 layout: S columns pack KW grid rows each (m = (h%KW)*W + w,
+# _s_pack_geometry), so the minor dim is ~512 -- the previous (JP*H, W=64)
+# form half-filled every 128-lane bf16 tile, doubling S's real bytes across
+# the builder write and both consumer reads (the b64 profile showed the S
+# pipeline at ~10 ms/step, mostly bandwidth). The row factor also shrinks
+# JP*H -> JP*(H/KW) sublanes with one y-corner per slot, cutting the
+# iota-compare VPU work ~8x.
 # ---------------------------------------------------------------------------
 
 
@@ -453,42 +461,62 @@ def _s_build_jp() -> int:
     """Queries packed per MXU matmul in the S builder (power of two).
 
     JP queries are stacked along the M (sublane) dim of one matmul: a
-    block-diagonal Ry (JP*H, JP*P) against the stacked Cx (JP*P, W) yields
-    the JP stacked (H, W) operator maps in one MXU pass. At JP=8 this
-    replaces 64 latency-bound (64,16)@(16,64) matmuls per program with 8 of
-    (512,128)@(128,64) -- the 8x redundant MACs are free next to the
-    per-matmul latency. The M-packed output (G, JP*H, W) splits to
-    (G, JP, H, W) as a layout-free bitcast, so the downstream sampling
-    contractions stay transpose-free (a lane-packed (H, JP*W) layout was
-    tried and forced a 500 MB operator transpose). Override:
-    EGOREAR_SBUILD_JP (1 recovers the per-query form).
+    block-diagonal row factor (JP*H1, JP*P*2) against the stacked column
+    factor (JP*P*2, KW*W) yields the JP stacked packed operator maps in one
+    MXU pass -- at JP=8 that is 8 MXU-shaped matmuls per program instead of
+    64 latency-bound per-query ones; the redundant block-diagonal MACs are
+    free next to per-matmul latency. The M-packed output (G, JP*H1, COLS)
+    splits to (G, JP, H1, COLS) as a layout-free bitcast, so the downstream
+    sampling contractions stay transpose-free. Override: EGOREAR_SBUILD_JP
+    (1 recovers the per-query form).
     """
     import os
 
     return int(os.environ.get("EGOREAR_SBUILD_JP", "8"))
 
 
-def _make_s_builder_kernel(H: int, W: int, P: int, JP: int, out_dtype):
-    def kernel(t0y_ref, wy0_ref, wy1_ref, x0_ref, cx0_ref, cx1_ref, s_ref):
-        # t0y/wy0/wy1: (1, G, 1, KP) lane layout (flat sublane targets
-        # jq*H + y0 with out-of-range guards folded into the weights);
-        # x0/cx0/cx1: (1, G, KP) -- trailing-expanded in-kernel. No
-        # transposes or lane/sublane reshapes anywhere.
-        G, KP = t0y_ref.shape[1], t0y_ref.shape[3]
-        JPH = JP * H
+def _s_pack_geometry(H: int, W: int):
+    """Column packing for the S operator: the grid's h axis splits into
+    (h1, k) with h = h1*KW + k, and S columns hold m = k*W + w (COLS = KW*W,
+    targeting 128 so bf16 tiles use all 128 lanes -- the round-2 layout's
+    W=64 minor dim only filled half a lane tile, doubling every S byte
+    moved). Because the grid's flat index is hw = h1*COLS + m, the consumer
+    views of S and of the (HW, C) feature tokens are BOTH pure leading-dim
+    splits -- free bitcasts, no transposes.
 
-        # Block-diagonal Ry (G, JP*H, KP): query j's y-factors live in
-        # sublane rows [j*H, (j+1)*H).
-        t0y = t0y_ref[0]
-        ihh = jax.lax.broadcasted_iota(jnp.int32, (G, JPH, KP), 1)
-        ry = (jnp.where(ihh == t0y, wy0_ref[0], 0.0)
-              + jnp.where(ihh == t0y + 1, wy1_ref[0], 0.0))
+    Why 128 and not wider: the builder's VPU cost is
+    KP2*COLS (column factor) + ROWS*KP2 (row factor) with ROWS = JP*H/KW;
+    minimizing over KW gives KW ~ sqrt(JP*H/W) ~ 2 for the 64x64 grids --
+    measured on v5e, the COLS=512 variant spent 1.8x the round-2 builder's
+    VPU time and gave back the einsum savings."""
+    KW = max(1, min(H, 128 // W))
+    while H % KW:
+        KW -= 1
+    return KW, H // KW
 
-        # Stacked Cx (G, KP, W); iota range [0, W) bounds x-corners.
-        x0 = x0_ref[0][..., None]
-        iw = jax.lax.broadcasted_iota(jnp.int32, (G, KP, W), 2)
-        cx = (jnp.where(iw == x0, cx0_ref[0][..., None], 0.0)
-              + jnp.where(iw == x0 + 1, cx1_ref[0][..., None], 0.0))
+
+def _make_s_builder_kernel(ROWS: int, COLS: int, out_dtype):
+    def kernel(trow_ref, wy_ref, c0_ref, cx0_ref, cx1_ref, s_ref):
+        # trow/wy: (1, G, 1, KP2) -- per (query, point, y-corner) slot, the
+        # target sublane row jq*H1 + (y//KW) and the guarded y-weight
+        # (bilinear y-factor x attention weight). c0/cx0/cx1: (1, G, KP2) --
+        # the packed column (y%KW)*W + x0 and the guarded x-corner weights.
+        # No transposes or lane/sublane reshapes anywhere.
+        G, KP2 = trow_ref.shape[1], trow_ref.shape[3]
+
+        # Row factor (G, ROWS, KP2): one compare per element -- each slot
+        # holds a single y-corner (the round-2 builder's two-corner rows
+        # over JP*H=512 sublanes cost 8x more VPU work).
+        irow = jax.lax.broadcasted_iota(jnp.int32, (G, ROWS, KP2), 1)
+        ry = jnp.where(irow == trow_ref[0], wy_ref[0], 0.0)
+
+        # Column factor (G, KP2, COLS): both x-corners land at packed
+        # columns c0 and c0+1 (x-guards folded into the weights outside, so
+        # a corner crossing a k-block boundary contributes zero).
+        c0 = c0_ref[0][..., None]
+        im = jax.lax.broadcasted_iota(jnp.int32, (G, KP2, COLS), 2)
+        cx = (jnp.where(im == c0, cx0_ref[0][..., None], 0.0)
+              + jnp.where(im == c0 + 1, cx1_ref[0][..., None], 0.0))
 
         # The factors are cast to the output dtype first: S is consumed in
         # out_dtype anyway, so the rounding moves from the product to the
@@ -498,22 +526,26 @@ def _make_s_builder_kernel(H: int, W: int, P: int, JP: int, out_dtype):
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        s_ref[0] = S.astype(out_dtype)  # (G, JP*H, W)
+        s_ref[0] = S.astype(out_dtype)  # (G, ROWS, COLS)
 
     return kernel
 
 
 def _build_s_operator(loc, attn_w, H, W, out_dtype):
-    """Sampling operator S (B, G, JP*H, W) in ``out_dtype`` -- query
-    q = g*JP + j occupies sublane rows [j*H, (j+1)*H) of pack g -- plus the
+    """Sampling operator S (B, G, ROWS, COLS) in ``out_dtype`` plus the
     exact border-clipped ones-sample (B, NQp, 1) f32.
 
-    loc (B, Q, nh, P, 2) in [0,1]; attn_w (B, Q, nh, P). Query rows are
-    padded to a multiple of JP (zero weights -> zero S rows).
+    Query q = g*JP + jq owns rows [jq*H1, (jq+1)*H1) of pack g; column
+    m = k*W + w and row-offset h1 address grid cell h = h1*KW + k (see
+    :func:`_s_pack_geometry` -- flat hw = h1*COLS + m, so consumer reshapes
+    are free). loc (B, Q, nh, P, 2) in [0,1]; attn_w (B, Q, nh, P). Query
+    rows are padded to a multiple of JP (zero weights -> zero S rows).
     """
     B, Q, nh, P = attn_w.shape
     NQ = nh * Q
     JP = _s_build_jp()
+    KW, H1 = _s_pack_geometry(H, W)
+    ROWS, COLS = JP * H1, KW * W
     locf = loc.transpose(0, 2, 1, 3, 4).reshape(B, NQ, P, 2).astype(jnp.float32)
     wf = attn_w.transpose(0, 2, 1, 3).reshape(B, NQ, P).astype(jnp.float32)
     NQp = -(-NQ // JP) * JP
@@ -522,6 +554,7 @@ def _build_s_operator(loc, attn_w, H, W, out_dtype):
         locf = jnp.pad(locf, pad + ((0, 0),))
         wf = jnp.pad(wf, pad)
     G, KP = NQp // JP, JP * P
+    KP2 = 2 * KP  # one slot per (query, point, y-corner)
 
     x = locf[..., 0] * W - 0.5
     y = locf[..., 1] * H - 0.5
@@ -532,56 +565,62 @@ def _build_s_operator(loc, attn_w, H, W, out_dtype):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # y-corner guards fold into the weights: a y0 outside [0, H) would alias
-    # into a NEIGHBORING query's sublane block. (x needs no guards -- the
-    # in-kernel iota range [0, W) bounds it.)
+    # Corner guards fold into the weights: an out-of-range y would alias
+    # into a neighboring query's rows, an x on a k-block edge into the next
+    # block's first column -- both must contribute exactly zero.
     in_y0 = ((y0i >= 0) & (y0i < H)).astype(jnp.float32)
     in_y1 = ((y0i + 1 >= 0) & (y0i + 1 < H)).astype(jnp.float32)
     wy0 = (1.0 - ly) * wf * in_y0
     wy1 = ly * wf * in_y1
+    in_x0 = ((x0i >= 0) & (x0i < W)).astype(jnp.float32)
+    in_x1 = ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(jnp.float32)
+    cx0 = (1.0 - lx) * in_x0
+    cx1 = lx * in_x1
 
     # Exact ones-sample (border-clipped bilinear mass), pure jnp -- cheaper
     # outside the kernel.
-    in_x0 = ((x0i >= 0) & (x0i < W)).astype(jnp.float32)
-    in_x1 = ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(jnp.float32)
     span_x = in_x0 * (1.0 - lx) + in_x1 * lx
     span_y = in_y0 * (1.0 - ly) + in_y1 * ly
     s_one = (wf * span_x * span_y).sum(-1)[:, :, None]  # (B, NQp, 1)
 
-    # Flat sublane targets: query q = g*JP + j -> rows j*H + y0 of pack g.
+    # Per-slot (query, point, y-corner) kernel inputs.
     jq = (jnp.arange(NQp, dtype=jnp.int32) % JP)[None, :, None]
-    t0y = jq * H + y0i  # (B, NQp, P)
+    yc = jnp.stack([y0i, y0i + 1], axis=-1)  # (B, NQp, P, 2)
+    trow = jq[..., None] * H1 + yc // KW
+    wy = jnp.stack([wy0, wy1], axis=-1)
+    c0 = (yc % KW) * W + x0i[..., None]
+    cx0b = jnp.broadcast_to(cx0[..., None], c0.shape)
+    cx1b = jnp.broadcast_to(cx1[..., None], c0.shape)
 
-    def lane4(v):  # (B, NQp, P) -> (B, G, 1, KP)
-        return v.reshape(B, G, 1, KP)
+    def lane4(v):  # (B, NQp, P, 2) -> (B, G, 1, KP2)
+        return v.reshape(B, G, 1, KP2)
 
-    def flat3(v):  # (B, NQp, P) -> (B, G, KP)
-        return v.reshape(B, G, KP)
+    def flat3(v):  # (B, NQp, P, 2) -> (B, G, KP2)
+        return v.reshape(B, G, KP2)
 
-    ins = [lane4(t0y), lane4(wy0), lane4(wy1),
-           flat3(x0i), flat3(1.0 - lx), flat3(lx)]
-    in_specs = ([pl.BlockSpec((1, G, 1, KP), lambda b: (b, 0, 0, 0),
-                              memory_space=pltpu.VMEM)] * 3
-                + [pl.BlockSpec((1, G, KP), lambda b: (b, 0, 0),
+    ins = [lane4(trow), lane4(wy), flat3(c0), flat3(cx0b), flat3(cx1b)]
+    in_specs = ([pl.BlockSpec((1, G, 1, KP2), lambda b: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)] * 2
+                + [pl.BlockSpec((1, G, KP2), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3)
     S = pl.pallas_call(
-        _make_s_builder_kernel(H, W, P, JP, out_dtype),
+        _make_s_builder_kernel(ROWS, COLS, out_dtype),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, G, JP * H, W), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, G, ROWS, COLS), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, G, JP * H, W), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, G, ROWS, COLS), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * G * (JP * H) * KP * W,
+            flops=2 * B * G * ROWS * KP2 * COLS,
             bytes_accessed=B * NQp * (H * W * jnp.dtype(out_dtype).itemsize
                                       + P * 24),
             transcendentals=0,
         ),
     )(*ins)
-    # S keeps the padded row count and its M-packed kernel-native shape:
-    # the (JP*H -> JP, H) sublane split is a free bitcast at the consumer;
-    # slicing or reshaping the full operator here would copy it.
-    return S, s_one
+    # S keeps the padded row count and its packed kernel-native shape; the
+    # (ROWS -> JP, H1) split at the consumer is a free bitcast. Slicing or
+    # reshaping the full operator here would copy it.
+    return S, s_one, (JP, H1, COLS)
 
 
 def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
@@ -590,18 +629,19 @@ def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
     Q, nh = loc.shape[1], loc.shape[2]
     H = W = int(HW**0.5)
 
-    S, s_one_flat = _build_s_operator(loc, attn_w, H, W, feat.dtype)
+    S, s_one_flat, (JP, H1, COLS) = _build_s_operator(
+        loc, attn_w, H, W, feat.dtype
+    )
     NQ = nh * Q
-    Gq, JPH = S.shape[1], S.shape[2]
-    JP = JPH // H
+    Gq = S.shape[1]
     NQp = Gq * JP
-    # Contract the grid dims of the M-packed 5-D view directly: the sublane
-    # split (JP*H -> JP, H) and all reshapes here are layout-free bitcasts,
-    # and (h, w) stay adjacent/minor so the dots need no operand transpose
-    # (an explicit jnp.reshape of the 500 MB operator materialized a copy).
-    S5 = S.reshape(B, Gq, JP, H, W)
+    # Contract the packed grid dims of the 5-D view directly. The column
+    # packing (hw = h1*COLS + m, _s_pack_geometry) makes BOTH views below
+    # pure leading-dim splits -- layout-free bitcasts -- and (h1, m) stay
+    # adjacent/minor so the dots need no operand transpose.
+    S5 = S.reshape(B, Gq, JP, H1, COLS)
     s_feat_flat = jnp.einsum(
-        "bgjhw,bhwc->bgjc", S5, feat.reshape(B, H, W, Cin),
+        "bgjhm,bhmc->bgjc", S5, feat.reshape(B, H1, COLS, Cin),
         preferred_element_type=jnp.float32,
     ).reshape(B, NQp, Cin)
     s_pos_flat = None
@@ -614,10 +654,10 @@ def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
         # The batch axis interleaves the G groups (batch-major (B, V) fold:
         # batch index = b * G + g), so callers need no view-major transpose
         # of the feature grid; one batched contraction per group.
-        S6 = S5.reshape(B // G, G, Gq, JP, H, W)
+        S6 = S5.reshape(B // G, G, Gq, JP, H1, COLS)
         s_pos_flat = jnp.einsum(
-            "bvgjhw,vhwc->bvgjc",
-            S6, pos.astype(S.dtype).reshape(G, H, W, pos.shape[-1]),
+            "bvgjhm,vhmc->bvgjc",
+            S6, pos.astype(S.dtype).reshape(G, H1, COLS, pos.shape[-1]),
             preferred_element_type=jnp.float32,
         ).reshape(B, NQp, pos.shape[-1])
 
@@ -689,11 +729,10 @@ def _lazy_bwd_rule(res, g):
     H = W = int(HW**0.5)
     NQ = nh * Q
 
-    S, _ = _build_s_operator(loc, attn_w, H, W, feat.dtype)
-    Gq, JPH = S.shape[1], S.shape[2]
-    JP = JPH // H
+    S, _, (JP, H1, COLS) = _build_s_operator(loc, attn_w, H, W, feat.dtype)
+    Gq = S.shape[1]
     NQp = Gq * JP
-    S5 = S.reshape(B, Gq, JP, H, W)
+    S5 = S.reshape(B, Gq, JP, H1, COLS)
 
     def pack(gx):  # (B, Q, nh, X) -> (B, Gq, JP, X), head-major rows
         flat = gx.transpose(0, 2, 1, 3).reshape(B, NQ, gx.shape[-1])
@@ -703,7 +742,7 @@ def _lazy_bwd_rule(res, g):
 
     gf = pack(g_feat).astype(S.dtype)
     d_feat = jnp.einsum(
-        "bgjhw,bgjc->bhwc", S5, gf, preferred_element_type=jnp.float32,
+        "bgjhm,bgjc->bhmc", S5, gf, preferred_element_type=jnp.float32,
     ).reshape(B, HW, Cin).astype(feat.dtype)
 
     d_pos = None
@@ -712,9 +751,9 @@ def _lazy_bwd_rule(res, g):
         pos3 = pos[None] if pos.ndim == 2 else pos
         G = pos3.shape[0]
         gp = pack(g_pos).astype(S.dtype)
-        S6 = S5.reshape(B // G, G, Gq, JP, H, W)
+        S6 = S5.reshape(B // G, G, Gq, JP, H1, COLS)
         d_pos3 = jnp.einsum(
-            "bvgjhw,bvgjc->vhwc",
+            "bvgjhm,bvgjc->vhmc",
             S6, gp.reshape(B // G, G, Gq, JP, -1),
             preferred_element_type=jnp.float32,
         ).reshape(G, HW, pos3.shape[-1]).astype(pos.dtype)

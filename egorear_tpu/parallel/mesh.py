@@ -52,18 +52,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM) -> NamedSharding:
+def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM,
+                  shard_stacked: bool = False) -> NamedSharding:
     """Sharding for one weight of the given shape.
 
     2-D Dense kernels (in, out) shard their widest dim over 'model' when it
-    is >= ``min_dim`` and divisible. 3-D stacked kernels (V, in, out) -- the
-    vmapped per-view refiner weights, e.g. the 4096-wide JQA heatmap
-    projections at 256px -- shard the widest of the two TRAILING dims (the
-    leading axis is the view stack and must stay whole per view). Everything
-    else is replicated, which is optimal at this model family's sizes.
+    is >= ``min_dim`` and divisible. With ``shard_stacked``, 3-D stacked
+    kernels (V, in, out) -- the vmapped per-view refiner weights, e.g. the
+    4096-wide JQA heatmap projections at 256px -- shard the widest of the
+    two TRAILING dims (the leading axis is the view stack and must stay
+    whole per view). Everything else is replicated, which is optimal at
+    this model family's sizes.
+
+    ``shard_stacked`` defaults OFF: on the 8-device virtual CPU mesh
+    (jax 0.9.0) the full model's BACKWARD deviates ~14% in gradient norm
+    when stacked refiner kernels and downstream pose3d kernels are sharded
+    together (forward and eval stay bitwise-grade exact; each family
+    sharded alone is exact too; minimal reproductions of the structure are
+    clean -- an XLA SPMD partitioner issue we could not reduce further,
+    see tests/test_tensor_parallel.py). The payoff of stacked sharding is
+    also small next to the 32768-wide proposal MLP that the 2-D rule
+    covers. dryrun_multichip still exercises the stacked path (forward
+    loss validated exact vs replicated).
     """
     model_size = dict(mesh.shape).get("model", 1)
-    if model_size > 1 and len(shape) in (2, 3):
+    ndims = (2, 3) if shard_stacked else (2,)
+    if model_size > 1 and len(shape) in ndims:
         lead = len(shape) - 2  # skip the stacked-view axis of 3-D leaves
         axes = sorted(range(lead, len(shape)), key=lambda a: -shape[a])
         for axis in axes:
@@ -74,14 +88,16 @@ def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM) -> NamedSharding
     return NamedSharding(mesh, P())
 
 
-def param_shardings(params, mesh: Mesh, min_dim: int = TP_MIN_DIM):
+def param_shardings(params, mesh: Mesh, min_dim: int = TP_MIN_DIM,
+                    shard_stacked: bool = False):
     """Per-leaf NamedShardings: TP-shard wide kernels, replicate the rest.
 
     Applies to any pytree of arrays/ShapeDtypeStructs (params, optimizer
     moments, ...) -- the rule depends only on leaf shapes.
     """
     return jax.tree_util.tree_map(
-        lambda leaf: leaf_sharding(np.shape(leaf), mesh, min_dim), params
+        lambda leaf: leaf_sharding(np.shape(leaf), mesh, min_dim,
+                                   shard_stacked), params
     )
 
 

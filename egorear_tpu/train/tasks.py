@@ -247,6 +247,7 @@ class Pose3DTask:
         w_mpjpe: float = 0.1,
         w_heatmap: float = 10.0,
         dataset_type: str = "ego4view_syn_pose3d",
+        pose_relative_type: str = "device",
         camera_calib_path: Optional[str] = None,
         chained_cameras: bool = True,
         **_,
@@ -255,6 +256,8 @@ class Pose3DTask:
         self.model = EgoRearNet(cfg=self.cfg)
         self.w_mpjpe = w_mpjpe
         self.w_heatmap = w_heatmap
+        self.dataset_type = dataset_type
+        self.pose_relative_type = pose_relative_type
         self.is_rw = dataset_type.startswith("ego4view_rw")
         # Resolve the calibration source: explicit arg > the reference
         # config's camera_calib_file_dir_path (if it exists on disk) > the
@@ -273,6 +276,18 @@ class Pose3DTask:
 
     def _ctm(self, batch):
         return batch.get("coord_trans_mat") if self.is_rw else None
+
+    def _origin_3d(self, batch):
+        """UnrealEgo legacy pelvis-relative hook: the reference's eval_step
+        reads ``batch["origin_3d"]`` only for dataset_type=="unrealego" with
+        pose_relative_type=="pelvis" (pose_3d_mvf_ex.py:180-183); its
+        training_step always passes None (:132-133). The network accepts and
+        ignores the tensor either way (see models/pose3d.py) -- exact parity.
+        """
+        if (self.dataset_type == "unrealego"
+                and self.pose_relative_type == "pelvis"):
+            return batch.get("origin_3d")
+        return None
 
     def init(self, rng, batch):
         batch = prepare_batch(batch)
@@ -312,7 +327,8 @@ class Pose3DTask:
     def eval_metrics(self, variables, batch, test_mode: bool = False):
         batch = prepare_batch(batch)
         preds3d, _ = self.model.apply(
-            variables, batch["img"], self.rig, self._ctm(batch), train=False
+            variables, batch["img"], self.rig, self._ctm(batch), train=False,
+            origin_3d=self._origin_3d(batch),
         )
         gt = batch["gt_pose"].astype(jnp.float32)
         out = {}

@@ -53,6 +53,10 @@ class TrainerConfig:
     # reference's only strategy (SURVEY.md section 2.7).
     model_parallel: int = 1
     tp_min_dim: int = 2048
+    # Opt-in sharding of the 3-D stacked (per-view) refiner kernels. OFF by
+    # default: see parallel/mesh.leaf_sharding for the observed XLA SPMD
+    # backward discrepancy when combined with sharded downstream kernels.
+    tp_shard_stacked: bool = False
     # Auxiliary subsystems (SURVEY.md section 5):
     profile_steps: int = 0  # capture a jax.profiler trace for N train steps
     debug_nans: bool = False  # per-step non-finite loss detection
@@ -222,7 +226,8 @@ class Trainer:
         replicate everything else. Pure replication on a 1-D data mesh."""
         from egorear_tpu.parallel.mesh import param_shardings
 
-        return param_shardings(tree, self.mesh, min_dim=self.cfg.tp_min_dim)
+        return param_shardings(tree, self.mesh, min_dim=self.cfg.tp_min_dim,
+                               shard_stacked=self.cfg.tp_shard_stacked)
 
     def load_state_params(self, params, extra_vars=None):
         assert self.state is not None

@@ -63,7 +63,10 @@ def test_fit_and_test_256px_through_reference_yaml(tmp_path):
     )
     assert fit.returncode == 0, fit.stderr[-3000:]
 
-    ckpts = sorted((save_dir / "ego4view_syn_pose3d").rglob("epoch=*"))
+    # The YAML bakes the experiment name into save_dir
+    # (./logs/ego4view_syn_pose3d); overriding --trainer.save_dir replaces
+    # the whole path, so checkpoints land at <save_dir>/lightning_logs/...
+    ckpts = sorted(save_dir.rglob("epoch=*"))
     assert ckpts, "fit produced no checkpoint"
 
     test = subprocess.run(

@@ -1,0 +1,95 @@
+"""Compiled (non-interpreted) Pallas S-builder parity on real TPU.
+
+ADVICE r2 #4: the default suite only exercises the S-builder under
+``force_tpu_interpret_mode`` (conftest pins tests to the virtual CPU mesh),
+so a Mosaic lowering regression -- lane/sublane layout, the packed-column
+geometry, the JP packing -- would pass CI. These tests spawn a subprocess
+WITHOUT the CPU pin and run ``lazy_deform_sample`` through the real Mosaic
+compiler against the jnp reference twin, forward and backward, for the
+default JP=8 M-packing and the EGOREAR_SBUILD_JP=1 per-query fallback.
+
+Skipped when no TPU is attached (or the chip is held by another process).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if jax.devices()[0].platform != "tpu":
+    print("NOTPU")
+    sys.exit(0)
+
+from egorear_tpu.ops.deform_attn import (
+    _lazy_sample_reference,
+    lazy_deform_sample,
+)
+
+B, H, W, Cin, Q, nh, P, G = 8, 64, 64, 32, 15, 8, 16, 4
+rng = np.random.default_rng(0)
+feat = jnp.asarray(rng.normal(size=(B, H * W, Cin)), jnp.bfloat16)
+# Locations cover interior + out-of-bounds (border-clip path).
+loc = jnp.asarray(rng.uniform(-0.1, 1.1, size=(B, Q, nh, P, 2)), jnp.float32)
+w = jax.nn.softmax(
+    jnp.asarray(rng.normal(size=(B, Q, nh, P)), jnp.float32), axis=-1
+)
+pos = jnp.asarray(rng.normal(size=(G, H * W, 16)), jnp.bfloat16)
+
+
+def loss(impl):
+    def f(feat, loc, w, pos):
+        s_feat, s_pos, s_one = lazy_deform_sample(
+            feat, loc, w, pos=pos, impl=impl
+        )
+        t = (s_feat.astype(jnp.float32) ** 2).sum()
+        t += (s_pos.astype(jnp.float32) ** 2).sum()
+        t += (s_one.astype(jnp.float32) ** 2).sum()
+        return t
+
+    return f
+
+
+def run(f):
+    out = jax.jit(lambda *a: (f(*a), jax.grad(f, argnums=(0, 1, 2, 3))(*a)))(
+        feat, loc, w, pos
+    )
+    return jax.device_get(out)
+
+v_pal, g_pal = run(loss("pallas"))
+v_ref, g_ref = run(loss("reference"))
+
+np.testing.assert_allclose(v_pal, v_ref, rtol=2e-2)
+for a, b, name in zip(g_pal, g_ref, ("feat", "loc", "w", "pos")):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    denom = max(float(np.abs(b).max()), 1e-3)
+    err = float(np.abs(a - b).max()) / denom
+    assert err < 5e-2, (name, err)
+print("OK")
+"""
+
+
+@pytest.mark.parametrize("jp", ["8", "1"])
+def test_sbuilder_compiled_on_tpu_matches_reference(jp):
+    env = dict(os.environ, EGOREAR_SBUILD_JP=jp)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    if "NOTPU" in proc.stdout or (
+        proc.returncode and "failed to initialize" in proc.stderr.lower()
+    ):
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout

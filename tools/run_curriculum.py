@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Full 3-stage training curriculum at 256px on a learnable synthetic set.
+
+Reproduces the reference protocol end to end through the CLI
+(/root/reference/README.md:183-189: fit stage-1 stereo front + back ->
+graft -> fit MVFex -> graft -> fit pose3d -> test), producing the accuracy
+evidence VERDICT r2 asked for. Real Ego4View data is absent from this
+environment, so the drive runs on the synthetic generator's ``draw_pose``
+mode: images carry per-joint colored blobs at the TRUE fisheye projections
+of the sampled 3D poses, so image -> heatmap -> 3D is genuinely learnable
+and pose error can actually fall.
+
+Protocol deviations (documented in ACCURACY.md): warmup_iters shortened to
+fit the small step budget (the reference's 500-step warmup would span the
+entire run), ImageNet pretrain off (no torchvision weights on this host;
+blob images are nothing like ImageNet anyway).
+
+Usage: python tools/run_curriculum.py [--frames 512] [--epochs 12]
+                                      [--out logs/curriculum]
+"""
+
+import argparse
+import csv
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_cli(args, env, log_path):
+    t0 = time.time()
+    with open(log_path, "w") as f:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "run.py")] + args,
+            stdout=f, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+            timeout=7200,
+        )
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        tail = open(log_path).read()[-4000:]
+        raise RuntimeError(f"run.py {args[0]} failed ({dt:.0f}s):\n{tail}")
+    return dt
+
+
+def latest_ckpt(save_dir):
+    hits = []
+    for base, _dirs, files in os.walk(save_dir):
+        for d in _dirs + files:
+            m = re.match(r"epoch=(\d+)", d)
+            if m:
+                hits.append((int(m.group(1)), os.path.join(base, d)))
+    assert hits, f"no checkpoint under {save_dir}"
+    return max(hits)[1]
+
+
+def read_metrics(save_dir):
+    rows = []
+    for base, _dirs, files in os.walk(save_dir):
+        if "metrics.csv" in files:
+            with open(os.path.join(base, "metrics.csv")) as f:
+                rows.extend(list(csv.DictReader(f)))
+    return rows
+
+
+def series(rows, key):
+    out = []
+    for r in rows:
+        if r.get(key):
+            out.append((int(r["step"]), float(r[key])))
+    return sorted(out)
+
+
+def test_json(log_path):
+    txt = open(log_path).read()
+    for line in reversed(txt.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and "test/" in line:
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    # multi-line json.dumps(indent=1)
+    m = re.search(r"\{[^{}]*\"test/[^{}]*\}", txt, re.S)
+    return json.loads(m.group(0)) if m else {}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--eval-frames", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--warmup", type=int, default=30)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--data-root", default="/tmp/ego4view_syn_curriculum")
+    ap.add_argument("--out", default=os.path.join(REPO, "logs", "curriculum"))
+    ap.add_argument("--workers", type=int, default=2)
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+
+    # ---- data ----
+    if not os.path.exists(os.path.join(args.data_root, "train.txt")):
+        print(f"generating synthetic set ({args.frames} train frames, "
+              f"{args.image_size}px, draw_pose)...", flush=True)
+        from egorear_tpu.data.synthetic import make_synthetic_dataset
+
+        make_synthetic_dataset(
+            args.data_root, "syn", num_chars=1, num_seqs=1,
+            frames_per_seq=args.frames, image_size=args.image_size,
+            write_heatmaps=True, draw_pose=True,
+            eval_frames_per_seq=args.eval_frames,
+        )
+    os.makedirs(args.out, exist_ok=True)
+
+    no_imnet = [
+        "--model.model_cfg.encoder_cfg.resnet_cfg.use_imagenet_pretrain",
+        "false",
+    ]
+    common = [
+        "--model.data_root", args.data_root,
+        "--model.workers", str(args.workers),
+        "--model.warmup_iters", str(args.warmup),
+        "--trainer.max_epochs", str(args.epochs),
+        "--trainer.log_every_n_steps", "8",
+    ]
+    timings = {}
+
+    def stage(tag, cfg, extra, subcmd="fit", ckpt=None):
+        save = os.path.join(args.out, tag)
+        argv = [subcmd, "--config", os.path.join(REPO, "configs", cfg)]
+        argv += common + no_imnet + extra + ["--trainer.save_dir", save]
+        if ckpt:
+            argv += ["--ckpt_path", ckpt]
+        log = os.path.join(args.out, f"{tag}.{subcmd}.log")
+        print(f"[{tag}] run.py {subcmd} ...", flush=True)
+        timings[f"{tag}.{subcmd}"] = run_cli(argv, env, log)
+        print(f"[{tag}] done in {timings[f'{tag}.{subcmd}']:.0f}s", flush=True)
+        return save, log
+
+    # ---- stage 1: stereo front + back ----
+    s1f, _ = stage("s1_front", "ego4view_syn_heatmap_stereo_front.yaml", [])
+    s1f_ckpt = latest_ckpt(s1f)
+    s1b, _ = stage("s1_back", "ego4view_syn_heatmap_stereo_back.yaml", [])
+    s1b_ckpt = latest_ckpt(s1b)
+
+    # ---- stage 2: MVFex with stage-1 grafts ----
+    graft2 = [
+        "--model.heatmap_estimator_pretrained_stereo_front", s1f_ckpt,
+        "--model.heatmap_estimator_pretrained_stereo_back", s1b_ckpt,
+        "--model.network_pretrained", "null",
+    ]
+    s2, _ = stage("s2_mvfex", "ego4view_syn_heatmap_mvfex-n1_jqa.yaml", graft2)
+    s2_ckpt = latest_ckpt(s2)
+    _, s2_test_log = stage("s2_mvfex", "ego4view_syn_heatmap_mvfex-n1_jqa.yaml",
+                           graft2, subcmd="test", ckpt=s2_ckpt)
+
+    # ---- stage 3: pose3d with stage-2 graft ----
+    graft3 = [
+        "--model.heatmap_estimator_mvf_pretrained", s2_ckpt,
+        "--model.network_pretrained", "null",
+    ]
+    s3, _ = stage("s3_pose3d", "ego4view_syn_pose3d.yaml", graft3)
+    s3_ckpt = latest_ckpt(s3)
+    _, s3_test_log = stage("s3_pose3d", "ego4view_syn_pose3d.yaml", graft3,
+                           subcmd="test", ckpt=s3_ckpt)
+
+    # ---- report ----
+    write_report(args, timings,
+                 s1f, s1b, s2, s3, test_json(s2_test_log),
+                 test_json(s3_test_log))
+
+
+def fmt_series(pairs, n=6):
+    if not pairs:
+        return "n/a"
+    idx = [0] + sorted(set(
+        round(i * (len(pairs) - 1) / (n - 1)) for i in range(1, n)))
+    return " -> ".join(f"{pairs[i][1]:.4g}" for i in dict.fromkeys(idx))
+
+
+def write_report(args, timings, s1f, s1b, s2, s3, s2_test, s3_test):
+    r1f = read_metrics(s1f)
+    r1b = read_metrics(s1b)
+    r2 = read_metrics(s2)
+    r3 = read_metrics(s3)
+
+    L = []
+    L.append("# ACCURACY -- 3-stage curriculum evidence (round 3)\n")
+    L.append(
+        "Full reference training protocol driven end-to-end through "
+        "`run.py` with the shipped YAML configs (fit stereo-front -> fit "
+        "stereo-back -> graft -> fit MVFex -> graft -> fit pose3d -> test; "
+        "reference protocol: README.md:183-189, pose_3d_mvf_ex.py:317-333) "
+        f"on a {args.image_size}px geometrically-consistent synthetic set "
+        f"({args.frames} train frames, draw_pose images -- see "
+        "egorear_tpu/data/synthetic.py). Real Ego4View data/checkpoints are "
+        "not available in this environment; this is the strongest available "
+        "proxy: every stage trains, grafts and evaluates exactly as the "
+        "reference does, and the pose error genuinely falls because the "
+        "images encode the pose.\n")
+    L.append("Protocol deviations: `warmup_iters` 500 -> "
+             f"{args.warmup} (500 would span the whole small-set run), "
+             "`use_imagenet_pretrain` off (no torchvision weights on this "
+             "host; blob images are out-of-domain for ImageNet features "
+             "anyway). Everything else is the stock configs.\n")
+
+    L.append("## Stage 1 (per-pair heatmap estimators)\n")
+    for tag, rows in (("front", r1f), ("back", r1b)):
+        tr = series(rows, "train/heatmap_loss")
+        vl = series(rows, "val/proposal_mse_heatmap")
+        L.append(f"- stereo_{tag} train/heatmap_loss: {fmt_series(tr)}")
+        L.append(f"- stereo_{tag} val/proposal_mse_heatmap: {fmt_series(vl)}")
+    L.append("")
+
+    L.append("## Stage 2 (MVFex refinement, stage-1 grafts loaded)\n")
+    L.append(f"- train/loss_total: {fmt_series(series(r2, 'train/loss_total'))}")
+    for k in ("val/proposal_stereo_front_mse_heatmap",
+              "val/final_stereo_front_mse_heatmap"):
+        L.append(f"- {k}: {fmt_series(series(r2, k))}")
+    L.append("\ntest split (final checkpoint):\n")
+    keys2 = sorted(k for k in s2_test if "mse_heatmap" in k or "pts2d" in k)
+    for k in keys2:
+        L.append(f"- {k}: {s2_test[k]:.6f}")
+    fr = s2_test.get("test/final_stereo_front_mse_heatmap")
+    pr = s2_test.get("test/proposal_stereo_front_mse_heatmap")
+    if fr is not None and pr is not None:
+        L.append(f"\n**Refined-vs-init heatmap MSE (front): {fr:.6f} vs "
+                 f"{pr:.6f} ({'improved' if fr < pr else 'NOT improved'})**")
+    L.append("")
+
+    L.append("## Stage 3 (3D pose, stage-2 graft loaded)\n")
+    L.append(f"- train/loss_total: {fmt_series(series(r3, 'train/loss_total'))}")
+    for k in ("val/final_mpjpe", "val/proposal_mpjpe"):
+        L.append(f"- {k}: {fmt_series(series(r3, k))}")
+    L.append("\ntest split (final checkpoint, mm):\n")
+    for k in sorted(k for k in s3_test):
+        L.append(f"- {k}: {s3_test[k]:.4f}")
+    fm = s3_test.get("test/final_mpjpe")
+    pm = s3_test.get("test/proposal_mpjpe")
+    if fm is not None and pm is not None:
+        L.append(f"\n**Final MPJPE {fm:.2f} mm vs proposal {pm:.2f} mm "
+                 f"({'refinement helps' if fm < pm else 'refinement does NOT help'})**")
+    L.append("")
+
+    L.append("## Wall-clock\n")
+    for k, v in timings.items():
+        L.append(f"- {k}: {v:.0f}s")
+    L.append("")
+
+    out = os.path.join(REPO, "ACCURACY.md")
+    with open(out, "w") as f:
+        f.write("\n".join(L))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
