@@ -38,6 +38,7 @@ derives the border-correction ones-sample from S row sums.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Literal
 
 import jax
@@ -497,26 +498,33 @@ def _s_pack_geometry(H: int, W: int):
 
 def _make_s_builder_kernel(ROWS: int, COLS: int, out_dtype):
     def kernel(trow_ref, wy_ref, c0_ref, cx0_ref, cx1_ref, s_ref):
-        # trow/wy: (1, G, 1, KP2) -- per (query, point, y-corner) slot, the
+        # trow/wy: (BP, G, 1, KP2) -- per (query, point, y-corner) slot, the
         # target sublane row jq*H1 + (y//KW) and the guarded y-weight
-        # (bilinear y-factor x attention weight). c0/cx0/cx1: (1, G, KP2) --
+        # (bilinear y-factor x attention weight). c0/cx0/cx1: (BP, G, KP2) --
         # the packed column (y%KW)*W + x0 and the guarded x-corner weights.
+        # BP > 1 packs several batch elements per program (fewer program
+        # prologues/DMAs; the merge below is a free leading-dim reshape).
         # No transposes or lane/sublane reshapes anywhere.
-        G, KP2 = trow_ref.shape[1], trow_ref.shape[3]
+        BP, G, KP2 = trow_ref.shape[0], trow_ref.shape[1], trow_ref.shape[3]
+        BG = BP * G
+        trow = trow_ref[...].reshape(BG, 1, KP2)
+        wy = wy_ref[...].reshape(BG, 1, KP2)
 
-        # Row factor (G, ROWS, KP2): one compare per element -- each slot
+        # Row factor (BG, ROWS, KP2): one compare per element -- each slot
         # holds a single y-corner (the round-2 builder's two-corner rows
         # over JP*H=512 sublanes cost 8x more VPU work).
-        irow = jax.lax.broadcasted_iota(jnp.int32, (G, ROWS, KP2), 1)
-        ry = jnp.where(irow == trow_ref[0], wy_ref[0], 0.0)
+        irow = jax.lax.broadcasted_iota(jnp.int32, (BG, ROWS, KP2), 1)
+        ry = jnp.where(irow == trow, wy, 0.0)
 
-        # Column factor (G, KP2, COLS): both x-corners land at packed
+        # Column factor (BG, KP2, COLS): both x-corners land at packed
         # columns c0 and c0+1 (x-guards folded into the weights outside, so
         # a corner crossing a k-block boundary contributes zero).
-        c0 = c0_ref[0][..., None]
-        im = jax.lax.broadcasted_iota(jnp.int32, (G, KP2, COLS), 2)
-        cx = (jnp.where(im == c0, cx0_ref[0][..., None], 0.0)
-              + jnp.where(im == c0 + 1, cx1_ref[0][..., None], 0.0))
+        c0 = c0_ref[...].reshape(BG, KP2)[..., None]
+        im = jax.lax.broadcasted_iota(jnp.int32, (BG, KP2, COLS), 2)
+        cx0 = cx0_ref[...].reshape(BG, KP2)[..., None]
+        cx1 = cx1_ref[...].reshape(BG, KP2)[..., None]
+        cx = (jnp.where(im == c0, cx0, 0.0)
+              + jnp.where(im == c0 + 1, cx1, 0.0))
 
         # The factors are cast to the output dtype first: S is consumed in
         # out_dtype anyway, so the rounding moves from the product to the
@@ -526,7 +534,7 @@ def _make_s_builder_kernel(ROWS: int, COLS: int, out_dtype):
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        s_ref[0] = S.astype(out_dtype)  # (G, ROWS, COLS)
+        s_ref[...] = S.astype(out_dtype).reshape(BP, G, ROWS, COLS)
 
     return kernel
 
@@ -599,15 +607,22 @@ def _build_s_operator(loc, attn_w, H, W, out_dtype):
         return v.reshape(B, G, KP2)
 
     ins = [lane4(trow), lane4(wy), flat3(c0), flat3(cx0b), flat3(cx1b)]
-    in_specs = ([pl.BlockSpec((1, G, 1, KP2), lambda b: (b, 0, 0, 0),
+    # Batch elements per program: fewer program prologues + larger output
+    # DMAs. Guarded by the per-program S-block footprint (the factors and
+    # the f32 dot accumulator scale with it; ~1M elems keeps the program
+    # comfortably inside VMEM).
+    BP = int(os.environ.get("EGOREAR_SBUILD_BP", "1"))
+    while BP > 1 and (B % BP or BP * G * ROWS * COLS > 2**20):
+        BP //= 2
+    in_specs = ([pl.BlockSpec((BP, G, 1, KP2), lambda b: (b, 0, 0, 0),
                               memory_space=pltpu.VMEM)] * 2
-                + [pl.BlockSpec((1, G, KP2), lambda b: (b, 0, 0),
+                + [pl.BlockSpec((BP, G, KP2), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3)
     S = pl.pallas_call(
         _make_s_builder_kernel(ROWS, COLS, out_dtype),
-        grid=(B,),
+        grid=(B // BP,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, G, ROWS, COLS), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((BP, G, ROWS, COLS), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, G, ROWS, COLS), out_dtype),
         cost_estimate=pl.CostEstimate(

@@ -61,10 +61,14 @@ def restore(path: str, target=None):
     """Restore a checkpoint saved by :func:`save`. With ``target``, restores
     into its structure; without, returns the raw array tree."""
     path = os.path.abspath(path)
-    if os.path.exists(path + ".pkl"):
+    # Accept both the canonical path ``save`` returned (pickle suffix
+    # implied) and an explicit ``...pkl`` path (what a directory listing or
+    # ``--ckpt_path`` override naturally hands us).
+    pkl = path if path.endswith(".pkl") else path + ".pkl"
+    if os.path.exists(pkl):
         import pickle
 
-        with open(path + ".pkl", "rb") as f:
+        with open(pkl, "rb") as f:
             return pickle.load(f)
     ckptr = ocp.StandardCheckpointer()
     if target is None:
@@ -108,6 +112,34 @@ def graft(base_tree: dict, sub_path: str, sub_tree: dict) -> dict:
     return _rec(base_tree, keys)
 
 
+def prune_to_structure(target, tree, where=""):
+    """Select from ``tree`` exactly the dict structure of ``target``.
+
+    Extra keys in ``tree`` are dropped; keys missing from ``tree`` raise.
+    Needed for native-checkpoint grafts: flax only creates params for
+    modules the consuming stage actually calls, so e.g. stage-2 with
+    conv-stack heads never initializes the stage-1 estimator's own
+    ``conv_heatmap`` head -- the stage-1 checkpoint still carries it (the
+    reference's strict ``load_state_dict`` works because torch modules
+    always own all params; the head's output is simply unused there,
+    heatmap_mvf_ex.py:93-126)."""
+    if isinstance(target, dict):
+        if not isinstance(tree, dict):
+            raise ValueError(
+                f"graft structure mismatch at {where}: dict vs leaf"
+            )
+        out = {}
+        for k, v in target.items():
+            if k not in tree:
+                raise ValueError(
+                    f"checkpoint is missing {where}/{k} "
+                    f"(has {sorted(tree)[:8]}...)"
+                )
+            out[k] = prune_to_structure(v, tree[k], f"{where}/{k}")
+        return out
+    return tree
+
+
 def _assert_same_structure(a, b, where):
     ta = jax.tree_util.tree_structure(a)
     tb = jax.tree_util.tree_structure(b)
@@ -130,7 +162,8 @@ def load_pretrained(path: str, target_variables: dict, task_name: str) -> dict:
     state = restore(path)
     out = {"params": state["params"]}
     out.update(state.get("extra_vars", {}))
-    _assert_same_structure(
-        {k: out.get(k) for k in target_variables}, target_variables, path
-    )
+    # Prune to the target's structure (drops source-only leaves like unused
+    # heads), then strict structure+shape check on what remains.
+    out = prune_to_structure(target_variables, out, path)
+    _assert_same_structure(out, target_variables, path)
     return out

@@ -270,3 +270,73 @@ def test_bf16_mixed_training(syn_root, tmp_path):
     # Master params stayed fp32.
     leaf = jax.tree.leaves(trainer.state["params"])[0]
     assert leaf.dtype == jnp.float32
+
+def test_graft_prunes_unused_stage1_head(syn_root, tmp_path):
+    """With conv-stack heads (use_1by1_conv False -- what the shipped mvfex
+    configs use), stage 2 never calls the stage-1 estimator's own 1x1
+    conv_heatmap head, so flax creates no params for it. Grafting a native
+    stage-1 checkpoint must DROP that head (reference semantics: the head's
+    output is simply unused there, heatmap_mvf_ex.py:93-126) instead of
+    failing the strict structure check -- the round-3 curriculum regression.
+    """
+    import jax
+
+    stage1 = HeatmapTask(model_cfg={"num_heatmap": 15,
+                                    "encoder_cfg": ENCODER_CFG})
+    t1 = Trainer(stage1, _trainer_cfg(tmp_path / "s1", epochs=1), lr=1e-3,
+                 weight_decay=5e-3, lr_decay_epochs=(), warmup_iters=1,
+                 batch_size=4, workers=0)
+    train1 = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "train",
+                         camera_pos="front")
+    sample1 = {k: np.stack([train1[i][k] for i in range(4)])
+               for k in ("img", "gt_heatmap")}
+    t1.init_state(sample1, steps_per_epoch=1)
+    ckpt_dir = str(tmp_path / "s1_ckpt")
+    ckpt_lib.save(ckpt_dir, 0, t1.state, use_orbax=False)
+    s1_path = os.path.join(ckpt_dir, "epoch=0.pkl")
+
+    mvf_cfg = dict(MVF_CFG, use_1by1_conv=False)
+    task = MVFexTask(
+        model_cfg={
+            "num_views": 4, "image_size": [256, 256], "num_heatmap": 15,
+            "feat_down_stride": 4, "heatmap_threshold": 0.5,
+            "camera_model": "ego4view_syn",
+            "encoder_cfg": ENCODER_CFG, "mvf_cfg": mvf_cfg,
+        },
+    )
+    t2 = Trainer(task, _trainer_cfg(tmp_path / "s2", epochs=1), lr=1e-3,
+                 weight_decay=5e-3, lr_decay_epochs=(), warmup_iters=1,
+                 batch_size=4, workers=0)
+    train2 = get_dataset("ego4view_syn_heatmap_mvf", syn_root, "train",
+                         camera_pos="all")
+    sample = {k: np.stack([train2[i][k] for i in range(4)])
+              for k in ("img", "gt_heatmap")}
+    t2.init_state(sample, steps_per_epoch=1)
+
+    front = t2.state["params"]["heatmap_estimator_stereo_front"]
+    assert "conv_heatmap" not in front, (
+        "test premise: the estimator head must be uninitialized under "
+        "conv-stack heads")
+
+    target = {
+        "params": front,
+        "batch_stats": t2.state["extra_vars"]["batch_stats"][
+            "heatmap_estimator_stereo_front"],
+    }
+    loaded = ckpt_lib.load_pretrained(s1_path, target, "heatmap")
+    # Same structure as the target (head pruned away)...
+    assert (jax.tree_util.tree_structure(loaded["params"])
+            == jax.tree_util.tree_structure(front))
+    # ...and the surviving leaves really are the stage-1 values.
+    s1_conv1 = np.asarray(
+        t1.state["params"]["encoder"]["resnet"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["encoder"]["resnet"]["conv1"]["kernel"]),
+        s1_conv1)
+    # A checkpoint MISSING a needed leaf still errors loudly.
+    import pytest as _pytest
+
+    bad = {"params": {"encoder": front["encoder"],
+                      "not_there": front["encoder"]}}
+    with _pytest.raises(ValueError, match="missing"):
+        ckpt_lib.load_pretrained(s1_path, bad, "heatmap")

@@ -70,7 +70,9 @@ def main():
     import numpy as np
 
     from __graft_entry__ import _build
+    from bench import _enable_compile_cache
 
+    _enable_compile_cache()
     dtype = jnp.bfloat16 if dtype_s == "bf16" else jnp.float32
     net, rig, _ = _build((256, 256))
     rng = np.random.default_rng(0)

@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--data-root", default="/tmp/ego4view_syn_curriculum")
     ap.add_argument("--out", default=os.path.join(REPO, "logs", "curriculum"))
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override the configs' batch sizes (smoke runs on "
+                         "sets smaller than the stock batch of 64/32)")
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -123,6 +126,12 @@ def main():
         "--model.model_cfg.encoder_cfg.resnet_cfg.use_imagenet_pretrain",
         "false",
     ]
+    # pose3d nests the stage-2 encoder under heatmap_mvf_cfg.
+    no_imnet3 = [
+        "--model.model_cfg.heatmap_mvf_cfg.encoder_cfg.resnet_cfg"
+        ".use_imagenet_pretrain",
+        "false",
+    ]
     common = [
         "--model.data_root", args.data_root,
         "--model.workers", str(args.workers),
@@ -130,12 +139,15 @@ def main():
         "--trainer.max_epochs", str(args.epochs),
         "--trainer.log_every_n_steps", "8",
     ]
+    if args.batch_size:
+        common += ["--model.batch_size", str(args.batch_size)]
     timings = {}
 
-    def stage(tag, cfg, extra, subcmd="fit", ckpt=None):
+    def stage(tag, cfg, extra, subcmd="fit", ckpt=None, imnet_off=None):
         save = os.path.join(args.out, tag)
         argv = [subcmd, "--config", os.path.join(REPO, "configs", cfg)]
-        argv += common + no_imnet + extra + ["--trainer.save_dir", save]
+        argv += common + (imnet_off or no_imnet) + extra
+        argv += ["--trainer.save_dir", save]
         if ckpt:
             argv += ["--ckpt_path", ckpt]
         log = os.path.join(args.out, f"{tag}.{subcmd}.log")
@@ -166,10 +178,11 @@ def main():
         "--model.heatmap_estimator_mvf_pretrained", s2_ckpt,
         "--model.network_pretrained", "null",
     ]
-    s3, _ = stage("s3_pose3d", "ego4view_syn_pose3d.yaml", graft3)
+    s3, _ = stage("s3_pose3d", "ego4view_syn_pose3d.yaml", graft3,
+                  imnet_off=no_imnet3)
     s3_ckpt = latest_ckpt(s3)
     _, s3_test_log = stage("s3_pose3d", "ego4view_syn_pose3d.yaml", graft3,
-                           subcmd="test", ckpt=s3_ckpt)
+                           subcmd="test", ckpt=s3_ckpt, imnet_off=no_imnet3)
 
     # ---- report ----
     write_report(args, timings,
