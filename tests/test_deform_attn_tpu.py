@@ -78,9 +78,9 @@ print("OK")
 """
 
 
-@pytest.mark.parametrize("jp", ["8", "1"])
-def test_sbuilder_compiled_on_tpu_matches_reference(jp):
-    env = dict(os.environ, EGOREAR_SBUILD_JP=jp)
+@pytest.mark.parametrize("jp,bp", [("8", "1"), ("1", "1"), ("8", "4")])
+def test_sbuilder_compiled_on_tpu_matches_reference(jp, bp):
+    env = dict(os.environ, EGOREAR_SBUILD_JP=jp, EGOREAR_SBUILD_BP=bp)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(

@@ -144,11 +144,14 @@ def test_shared_pallas_backward_is_smatrix(case):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
-def test_lazy_sample_pallas_matches_reference(case):
+@pytest.mark.parametrize("bp", ["1", "2"])
+def test_lazy_sample_pallas_matches_reference(case, bp, monkeypatch):
     """The fused lazy path (the model's hot kernel): Pallas S-builder vs the
     differentiable reference, including locations >1 px out of bounds on
     every side (regression: the round-1 kernel mis-sampled x-corners beyond
-    the left/right edges) and a query-row count that is not a multiple of 8."""
+    the left/right edges), a query-row count that is not a multiple of 8,
+    and both the per-batch-element and batch-packed (BP=2) program grids."""
+    monkeypatch.setenv("EGOREAR_SBUILD_BP", bp)
     from jax.experimental.pallas import tpu as pltpu
 
     from egorear_tpu.ops.deform_attn import (

@@ -132,6 +132,34 @@ def main():
         sc = scope.get(name, "")
         print(f"{dur/3:>10.0f}  {pct:>5.1f}  {name[:40]:40s} {sc[-90:]}")
 
+    # Scope-bucketed accounting (whole step, incl. the small-op tail).
+    import collections as _c
+
+    def bucket(sc):
+        if "backbone_features" in sc or "encoder" in sc:
+            return "backbone.fpn" if "/fpn/" in sc else "backbone.resnet"
+        if "vmap(refiners)" in sc:
+            if "cross_attn" in sc:
+                return "refiner.deform_attn"
+            return "refiner.ff+heads"
+        if "pose3d_estimator" in sc:
+            return ("pose3d.deform_attn" if "cross_attn" in sc
+                    else "pose3d.other")
+        if "_heatmaps_from_feat" in sc:
+            return "stage2.conv_heads"
+        if "_estimator" in sc:
+            return "stage1.glue"
+        return "other/unattributed"
+
+    buckets = _c.Counter()
+    for name, dur in agg.items():
+        if name.startswith("jit_"):
+            continue
+        buckets[bucket(scope.get(name, ""))] += dur / 3
+    print("\nscope buckets (us/step, full step):")
+    for k, v in buckets.most_common():
+        print(f"{v:>10.0f}  {k}")
+
 
 def time_submodules(net, rig, variables, img):
     import jax
