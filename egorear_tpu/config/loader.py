@@ -107,6 +107,14 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
         # mesh axis that tensor-shards the wide kernels (parallel/mesh.py).
         model_parallel=int(traw.get("model_parallel", 1)),
     )
+    # TPU-native TrainerConfig knobs are addressable directly as
+    # --trainer.<field> (they have no Lightning equivalent): auxiliary
+    # subsystems plus checkpoint cadence (which otherwise only comes from a
+    # Lightning ModelCheckpoint callback block).
+    for aux in ("profile_steps", "debug_nans", "auto_resume", "remat",
+                "encoder_lr_scale", "tp_min_dim", "tp_shard_stacked"):
+        if aux in traw:
+            known[aux] = traw[aux]
     # Lightning logger/callback blocks: pull what matters, ignore the rest.
     for lg in traw.get("logger", []) or []:
         if isinstance(lg, dict) and "CSVLogger" in str(lg.get("class_path", "")):
@@ -118,11 +126,14 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
     for cb in traw.get("callbacks", []) or []:
         if isinstance(cb, dict) and "ModelCheckpoint" in str(cb.get("class_path", "")):
             ckpt_every = cb.get("init_args", {}).get("every_n_epochs", 1)
+    ckpt_every = int(traw.get("ckpt_every_n_epochs", ckpt_every))
     ignored = set(traw) - {
         "max_epochs", "check_val_every_n_epoch", "log_every_n_steps",
         "gradient_clip_val", "gradient_clip_algorithm", "precision", "devices",
         "logger", "callbacks", "benchmark", "save_dir", "default_root_dir",
-        "model_parallel",
+        "model_parallel", "ckpt_every_n_epochs", "profile_steps",
+        "debug_nans", "auto_resume", "remat", "encoder_lr_scale",
+        "tp_min_dim", "tp_shard_stacked",
     }
     if ignored:
         logger.info(f"ignoring trainer keys: {sorted(ignored)}")
