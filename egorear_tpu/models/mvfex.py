@@ -453,6 +453,15 @@ class HeatmapMVFexNet(nn.Module):
         return hm, feat, bfb
 
     def _estimator_features(self, img, train):
+        """Front/back backbone features.
+
+        Returns ``(feat, bfb, fb_pair)`` where ``fb_pair`` is the pre-concat
+        ``(feat_front, feat_back)`` tuple (or None for the stereo-only
+        layout): the conv-stack heatmap heads consume the halves directly,
+        so routing the pair to them avoids a slice right back out of the
+        freshly materialized (B, V, ...) concat (the concat shows up as pure
+        dynamic-update-slice copies in the b64 TPU trace).
+        """
         cfg = self.cfg
         if cfg.num_views >= 3:
             feat_f, pyr_f = self.heatmap_estimator_stereo_front.backbone_features(
@@ -463,21 +472,27 @@ class HeatmapMVFexNet(nn.Module):
             )
             feat = jnp.concatenate([feat_f, feat_b], axis=1)
             bfb = jnp.concatenate([pyr_f[-1], pyr_b[-1]], axis=1)
-        else:
-            feat, pyramid = self.heatmap_estimator_stereo_front.backbone_features(
-                img, train
-            )
-            bfb = pyramid[-1]
-        return feat, bfb
+            return feat, bfb, (feat_f, feat_b)
+        feat, pyramid = self.heatmap_estimator_stereo_front.backbone_features(
+            img, train
+        )
+        return feat, pyramid[-1], None
 
-    def _heatmaps_from_feat(self, feat):
-        """Conv-stack heads at the MVFEX level (used when not use_1by1_conv)."""
+    def _heatmaps_from_feat(self, feat, fb_pair=None):
+        """Conv-stack heads at the MVFEX level (used when not use_1by1_conv).
+
+        ``fb_pair`` short-circuits the front/back re-slice when the caller
+        still holds the pre-concat halves (see ``_estimator_features``).
+        """
         cfg = self.cfg
         B, V = feat.shape[:2]
         J = cfg.num_heatmap
         if cfg.num_views >= 3:
-            f = feat[:, 0:2].reshape(B * 2, *feat.shape[2:])
-            b = feat[:, 2:].reshape(B * (V - 2), *feat.shape[2:])
+            feat_f, feat_b = fb_pair if fb_pair is not None else (
+                feat[:, 0:2], feat[:, 2:]
+            )
+            f = feat_f.reshape(B * 2, *feat.shape[2:])
+            b = feat_b.reshape(B * (V - 2), *feat.shape[2:])
             hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
             hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
             hm = jnp.concatenate(
@@ -526,20 +541,22 @@ class HeatmapMVFexNet(nn.Module):
             else:
                 hm_for_refine, feat, bfb = hm_init, feat_init, bfb_init
         else:
-            feat_init, bfb_init = self._estimator_features(img, train)
+            feat_init, bfb_init, fb_pair = self._estimator_features(img, train)
             if not cfg.full_training:
-                feat_init, bfb_init = jax.tree.map(
-                    sg, (feat_init, bfb_init)
+                feat_init, bfb_init, fb_pair = jax.tree.map(
+                    sg, (feat_init, bfb_init, fb_pair)
                 )
             if cfg.use_pred_heatmap_init:
-                hm_init = self._heatmaps_from_feat(sg(feat_init))
+                hm_init = self._heatmaps_from_feat(
+                    sg(feat_init), jax.tree.map(sg, fb_pair)
+                )
                 hm_for_refine = sg(hm_init)
                 if cfg.no_detach_feat_init:
                     feat, bfb = feat_init, bfb_init
                 else:
                     feat, bfb = sg(feat_init), sg(bfb_init)
             else:
-                hm_init = self._heatmaps_from_feat(feat_init)
+                hm_init = self._heatmaps_from_feat(feat_init, fb_pair)
                 hm_for_refine, feat, bfb = hm_init, feat_init, bfb_init
 
         list_heatmap = [hm_init]
