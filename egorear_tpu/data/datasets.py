@@ -103,8 +103,15 @@ class _Ego4ViewBase:
         render_missing_heatmaps: bool = False,
         use_native_loader: bool = True,
         device_preprocess: bool = False,
+        cache_in_memory: bool = False,
         **unused_kwargs,
     ):
+        # cache_in_memory keeps every decoded sample dict resident (RAM cost
+        # ~= len(dataset) x sample size, e.g. ~4 GB for 1k frames at 256px):
+        # on hosts with few cores the JPEG decode + resize dominates the
+        # train step (~2 s/step at batch 32 on 1 core, 10x the TPU compute),
+        # and epochs past the first become loader-bound for no reason.
+        self._cache: Optional[dict] = {} if cache_in_memory else None
         self.data_root = data_root
         self.variant = variant
         self.camera_pos = camera_pos or "all"
@@ -254,6 +261,17 @@ class _Ego4ViewBase:
         return len(self.frames)
 
 
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                return hit
+        out = self._get_item(idx)
+        if self._cache is not None:
+            self._cache[idx] = out
+        return out
+
+
 class HeatmapDataset(_Ego4ViewBase):
     """Single-view samples: one (frame, camera) pair per item
     (ego4view_{syn,rw}_heatmap.py)."""
@@ -275,7 +293,7 @@ class HeatmapDataset(_Ego4ViewBase):
     def __len__(self):
         return len(self.items)
 
-    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+    def _get_item(self, idx) -> Dict[str, np.ndarray]:
         frame, camera = self.items[idx]
         img = self._load_images([self._img_path(frame, camera)])[0]
         p = self._hm_path(frame, camera)
@@ -297,7 +315,7 @@ class HeatmapMVFDataset(_Ego4ViewBase):
     """Multi-view samples: stacked V images + GT heatmaps
     (ego4view_{syn,rw}_heatmap_mvf.py)."""
 
-    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+    def _get_item(self, idx) -> Dict[str, np.ndarray]:
         frame = self.frames[idx]
         if self.device_preprocess:
             img_u8, joints_2d, _ = self._load_views_device(frame)
@@ -311,7 +329,7 @@ class Pose3DDataset(_Ego4ViewBase):
     """Multi-view images + GT heatmaps + 16x3 device-frame pose (cm); RW adds
     per-view device->camera transforms (ego4view_{syn,rw}_pose3d.py)."""
 
-    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+    def _get_item(self, idx) -> Dict[str, np.ndarray]:
         frame = self.frames[idx]
         if self.device_preprocess:
             img_u8, joints_2d, data = self._load_views_device(frame)

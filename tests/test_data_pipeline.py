@@ -138,3 +138,14 @@ def test_device_preprocess_path(tmp_path):
 
     tol = (1.0 / 255.0) / IMAGENET_STD.min() + 1e-4
     assert np.abs(np.asarray(prepared["img"][0]) - h["img"]).max() <= tol
+
+
+def test_cache_in_memory(syn_root):
+    ds = get_dataset("ego4view_syn_pose3d", syn_root, "train",
+                     cache_in_memory=True)
+    a, b = ds[0], ds[0]
+    assert a is b  # second hit is the resident dict, no re-decode
+    np.testing.assert_array_equal(a["gt_pose"], ds[0]["gt_pose"])
+    # Default stays uncached (fresh arrays per access).
+    ds2 = get_dataset("ego4view_syn_pose3d", syn_root, "train")
+    assert ds2[0] is not ds2[0]
