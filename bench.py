@@ -51,6 +51,7 @@ def main():
     _enable_compile_cache()
 
     from __graft_entry__ import _build
+    from egorear_tpu.models.backbone import fold_batchnorm
 
     net, rig, _ = _build((256, 256))
     rng = np.random.default_rng(0)
@@ -62,16 +63,26 @@ def main():
     variables_f32 = jax.jit(
         lambda: net.init(jax.random.PRNGKey(0), img0, rig)
     )()
+
+    # Serving path: eval-mode BN folded into the conv weights (fp32 fold,
+    # then bf16 cast; exactness covered by tests/test_fold_bn.py). Opt out
+    # with EGOREAR_BENCH_FOLD_BN=0 for an A/B of the unfolded graph.
+    fold = os.environ.get("EGOREAR_BENCH_FOLD_BN", "1") != "0"
+    if fold:
+        serve_net, _, _ = _build((256, 256), bn_folded=True)
+        serve_vars = fold_batchnorm(variables_f32)
+    else:
+        serve_net, serve_vars = net, variables_f32
     variables_bf16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables_f32,
+        serve_vars,
     )
 
     # Weights are closed over as jit constants (inference serving semantics:
     # fixed weights, varying inputs) -- per-call pytree dispatch of ~500
     # param leaves cost ~1.5 ms/step on this host's single CPU core.
     def _body_bf16(im):
-        preds3d, hms = net.apply(variables_bf16, im, rig)
+        preds3d, hms = serve_net.apply(variables_bf16, im, rig)
         return preds3d[-1], hms[-1]
 
     fwd_bf16 = jax.jit(_body_bf16)

@@ -28,6 +28,9 @@ class EncoderCfg:
     out_stride: int = 4
     use_imagenet_pretrain: bool = True
     fpn_channels: int = 128
+    # Serving-only: build the ResNet with BN pre-folded into conv weights
+    # (see models/backbone.fold_batchnorm). Not a reference YAML key.
+    bn_folded: bool = False
 
     @staticmethod
     def from_dict(d: Optional[dict]) -> "EncoderCfg":
@@ -40,6 +43,7 @@ class EncoderCfg:
             out_stride=resnet.get("out_stride", 4),
             use_imagenet_pretrain=resnet.get("use_imagenet_pretrain", True),
             fpn_channels=neck.get("out_channels", 128),
+            bn_folded=resnet.get("bn_folded", False),
         )
 
 

@@ -54,10 +54,13 @@ class HeatmapNet(nn.Module):
     out_stride: int = 4
     fpn_channels: int = 128
     detach_heatmap_feat_init: bool = False
+    bn_folded: bool = False
 
     def setup(self):
         self.encoder = BackboneWithFPN(
-            out_stride=self.out_stride, fpn_channels=self.fpn_channels
+            out_stride=self.out_stride,
+            fpn_channels=self.fpn_channels,
+            bn_folded=self.bn_folded,
         )
         self.conv_heatmap = nn.Conv(self.num_heatmap, (1, 1))
 

@@ -391,6 +391,7 @@ class HeatmapMVFexNet(nn.Module):
             out_stride=enc.out_stride,
             fpn_channels=enc.fpn_channels,
             detach_heatmap_feat_init=cfg.detach_heatmap_feat_init,
+            bn_folded=enc.bn_folded,
         )
         if V >= 3:
             self.heatmap_estimator_stereo_back = HeatmapNet(
@@ -398,6 +399,7 @@ class HeatmapMVFexNet(nn.Module):
                 out_stride=enc.out_stride,
                 fpn_channels=enc.fpn_channels,
                 detach_heatmap_feat_init=cfg.detach_heatmap_feat_init,
+                bn_folded=enc.bn_folded,
             )
 
         # V refiners with independent weights, stacked and vmapped: one
