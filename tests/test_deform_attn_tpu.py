@@ -83,10 +83,26 @@ def test_sbuilder_compiled_on_tpu_matches_reference(jp, bp):
     env = dict(os.environ, EGOREAR_SBUILD_JP=jp, EGOREAR_SBUILD_BP=bp)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
-        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
-    )
+    # A hung TPU tunnel blocks jax.devices() forever (it does not error), so
+    # the in-script NOTPU guard can never fire; probe device discovery with a
+    # short-fused subprocess first and skip if the backend is unreachable.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('UP')"],
+            capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+            check=False,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend unreachable (device discovery timed out)")
+    if "UP" not in probe.stdout:
+        pytest.skip(f"TPU backend failed discovery: {probe.stderr[-500:]}")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _SCRIPT],
+            capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU unreachable or held (compile/run timed out)")
     if "NOTPU" in proc.stdout or (
         proc.returncode and "failed to initialize" in proc.stderr.lower()
     ):
