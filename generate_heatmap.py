@@ -23,6 +23,14 @@ import os
 
 import numpy as np
 
+# Same platform override as run.py: this machine's sitecustomize pins
+# JAX_PLATFORMS, so EGOREAR_PLATFORM=cpu is the override that sticks (the
+# renderer is tiny -- CPU is fine when no TPU is reachable).
+if os.environ.get("EGOREAR_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["EGOREAR_PLATFORM"])
+
 from egorear_tpu.data.datasets import CAMERA_NAMES, JOINT_NAMES
 from egorear_tpu.ops.heatmap import render_gaussian_targets
 from egorear_tpu.utils.logging import get_logger

@@ -245,6 +245,60 @@ def test_cli_fit_and_test(syn_root, tmp_path):
     metrics = json.loads(test.stdout[test.stdout.index("{"):])
     assert "test/proposal_mse_heatmap" in metrics
 
+    # validate subcommand: same plumbing over the validation split with
+    # val/-prefixed metric names (reference: Lightning's validate verb).
+    val = subprocess.run(
+        [sys.executable, os.path.join(repo, "run.py"), "validate",
+         "--config", str(cfg_path), "--ckpt_path", str(ckpt),
+         "--model.batch_size", "4"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert val.returncode == 0, val.stderr[-3000:]
+    val_metrics = json.loads(val.stdout[val.stdout.index("{"):])
+    assert "val/proposal_mse_heatmap" in val_metrics
+
+
+def test_predict_writes_npz_and_obj(syn_root, tmp_path):
+    """Trainer.predict: final+proposal 3D poses land in predictions.npz and
+    per-frame OBJ meshes are exported (run.py predict subcommand backend;
+    the reference's predict_step only forwards without persisting --
+    pose_3d_mvf_ex.py:161-163)."""
+    task = Pose3DTask(
+        model_cfg={
+            "num_views": 4, "image_size": [256, 256],
+            "camera_model": "ego4view_syn",
+            "pose3d_cfg": {
+                "num_joints": 16, "input_dims": 128, "embed_dims": 128,
+                "mlp_dims": 256, "mlp_dropout": 0.0, "num_mlp_layers": 2,
+                "num_former_layers": 2, "num_pred_mlp_layers": 2,
+                "feat_down_stride": 4,
+                "transformer_cfg": MVF_CFG["mvf_transformer_cfg"],
+            },
+            "heatmap_mvf_cfg": {
+                "num_heatmap": 15, "feat_down_stride": 4,
+                "heatmap_threshold": 0.5, "full_training": True,
+                "detach_heatmap_feat": True, "detach_heatmap_feat_init": True,
+                "use_pred_heatmap_init": True,
+                "encoder_cfg": ENCODER_CFG, "mvf_cfg": MVF_CFG,
+            },
+        },
+        dataset_type="ego4view_syn_pose3d",
+    )
+    trainer = Trainer(task, _trainer_cfg(tmp_path, epochs=1), lr=1e-3,
+                      weight_decay=5e-4, lr_decay_epochs=(), warmup_iters=2,
+                      batch_size=4, workers=0, no_decay_mask=True)
+    ds = get_dataset("ego4view_syn_pose3d", syn_root, "test", camera_pos="all")
+    out = trainer.predict(ds, str(tmp_path / "pred"), save_obj=True)
+    data = np.load(out, allow_pickle=True)
+    assert data["final"].shape == (len(ds), 16, 3)
+    assert data["proposal"].shape == (len(ds), 16, 3)
+    assert np.isfinite(data["final"]).all()
+    assert len(data["frame_path"]) == len(ds)
+    objs = sorted((tmp_path / "pred").glob("*.obj"))
+    assert objs, "save_obj exported no meshes"
+    text = objs[0].read_text()
+    assert text.startswith("v ") or "\nv " in text
+
 
 def test_bf16_mixed_training(syn_root, tmp_path):
     """bf16-mixed keeps fp32 master params and still reduces the loss."""
