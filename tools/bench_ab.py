@@ -29,10 +29,15 @@ jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from __graft_entry__ import _build
+fold = os.environ.get("EGOREAR_BENCH_FOLD_BN", "1") != "0"
 net, rig, _ = _build((256, 256))
 B = {batch}
 img0 = jnp.zeros((1, 4, 3, 256, 256), jnp.float32)
 variables = jax.jit(lambda: net.init(jax.random.PRNGKey(0), img0, rig))()
+if fold:
+    from egorear_tpu.models.backbone import fold_batchnorm
+    net, _, _ = _build((256, 256), bn_folded=True)
+    variables = fold_batchnorm(variables)
 vb = jax.tree.map(
     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
     variables)
@@ -62,6 +67,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("combos", nargs="*", default=[
         "",
+        "EGOREAR_BENCH_FOLD_BN=0",
         "EGOREAR_VMAP_CONV_IMPL=matmul",
         "EGOREAR_SBUILD_BP=8",
         "EGOREAR_SBUILD_BP=8,EGOREAR_VMAP_CONV_IMPL=matmul",
