@@ -30,17 +30,9 @@ REF_PYTORCH_FPS_FALLBACK = 250.0
 def _enable_compile_cache():
     # Persistent compilation cache (best effort): ~10 full-model compiles on
     # a 1-core host dominate bench wall-clock; repeat runs become fast.
-    try:
-        import jax
+    from egorear_tpu.utils.compile_cache import enable_compile_cache
 
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # noqa: BLE001
-        pass
+    enable_compile_cache()
 
 
 def main():

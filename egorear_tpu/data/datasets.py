@@ -265,10 +265,19 @@ class _Ego4ViewBase:
         if self._cache is not None:
             hit = self._cache.get(idx)
             if hit is not None:
-                return hit
+                # Shallow copy so callers can't rebind keys of the cached
+                # dict; the arrays themselves are frozen at fill time.
+                return dict(hit)
         out = self._get_item(idx)
         if self._cache is not None:
+            # Freeze cached arrays: an in-place consumer mutation (e.g. an
+            # augmentation doing ``s["img"] -= mean``) would otherwise poison
+            # every later epoch silently. Writers now get a loud ValueError.
+            for v in out.values():
+                if isinstance(v, np.ndarray):
+                    v.setflags(write=False)
             self._cache[idx] = out
+            return dict(out)
         return out
 
 

@@ -58,6 +58,26 @@ def relu(x):
     return jnp.maximum(x, 0)
 
 
+def _conv3x3s2(features: int, name: str):
+    """3x3 stride-2 conv used inside the vmapped refiner stack.
+
+    Measured on v5e (round 2): the real conv (grouped-conv lowering under
+    the per-view vmap) beats the 9-shifted-matmul form at these shapes
+    (15.75 vs 19.1 ms/step full model) -- the strided slices cost more than
+    the grouped conv. The round-3 b64 profile still shows the grouped-conv
+    transpose as the single biggest op (4.2 ms); EGOREAR_VMAP_CONV_IMPL=
+    matmul re-selects the matmul form for in-model measurement (identical
+    params/results either way).
+    """
+    import os
+
+    if os.environ.get("EGOREAR_VMAP_CONV_IMPL") == "matmul":
+        return Conv3x3S2Matmul(features, name=name)
+    return nn.Conv(
+        features, (3, 3), strides=2, padding=((1, 1), (1, 1)), name=name
+    )
+
+
 class MultiViewTransformerLayer(nn.Module):
     """Cross-view deformable attention + spatial MHA + FFN (post-norm).
 
@@ -274,28 +294,7 @@ class MVFexRefiner(nn.Module):
 
         # ---- downsampled frame features for the residual head ----
         f = relu(nn.Dense(Cin * 2, name="ff_proj_0")(frame_feat))
-        # NOTE: measured on v5e (round 2), keeping this as a real conv beats
-        # the 9-shifted-matmul formulation (Conv3x3S2Matmul) inside the
-        # vmapped stack (15.75 vs 19.1 ms/step full model) -- the strided
-        # slices cost more than the grouped-conv lowering at these shapes.
-        # The round-3 b64 profile still shows the grouped-conv transpose as
-        # the single biggest op (4.2 ms); EGOREAR_VMAP_CONV_IMPL=matmul
-        # re-selects the matmul form for in-model measurement (identical
-        # params/results).
-        import os as _os
-
-        _Conv = (Conv3x3S2Matmul
-                 if _os.environ.get("EGOREAR_VMAP_CONV_IMPL") == "matmul"
-                 else None)
-        if _Conv is not None:
-            f = relu(_Conv(Cin * 4, name="ff_proj_1")(f))
-        else:
-            f = relu(
-                nn.Conv(
-                    Cin * 4, (3, 3), strides=2, padding=((1, 1), (1, 1)),
-                    name="ff_proj_1",
-                )(f)
-            )
+        f = relu(_conv3x3s2(Cin * 4, name="ff_proj_1")(f))
         f = relu(nn.Dense(Cin, name="ff_proj_2")(f))  # (B, h/2, w/2, Cin)
 
         list_heatmap, list_feat = [], []
@@ -340,16 +339,7 @@ class MVFexRefiner(nn.Module):
             if cfg.use_1by1_conv:
                 hm = nn.Dense(J, name="conv_heatmap")(hm_in)
             else:
-                if _Conv is not None:
-                    y = relu(_Conv(Cin * 2, name=f"conv_hm_{idx}_0")(hm_in))
-                else:
-                    y = relu(
-                        nn.Conv(
-                            Cin * 2, (3, 3), strides=2,
-                            padding=((1, 1), (1, 1)),
-                            name=f"conv_hm_{idx}_0",
-                        )(hm_in)
-                    )
+                y = relu(_conv3x3s2(Cin * 2, name=f"conv_hm_{idx}_0")(hm_in))
                 y = relu(nn.Dense(Cin * 2, name=f"conv_hm_{idx}_1")(y))
                 y = upsample2x_align_corners(y)
                 y = relu(nn.Dense(Cin, name=f"conv_hm_{idx}_2")(y))

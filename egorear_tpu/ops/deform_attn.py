@@ -471,8 +471,6 @@ def _s_build_jp() -> int:
     sampling contractions stay transpose-free. Override: EGOREAR_SBUILD_JP
     (1 recovers the per-query form).
     """
-    import os
-
     return int(os.environ.get("EGOREAR_SBUILD_JP", "8"))
 
 

@@ -38,18 +38,9 @@ if os.environ.get("EGOREAR_DISTRIBUTED"):
 # across processes (fit/test subcommands, repeated experiments). Default is
 # <repo>/.jax_cache; override with EGOREAR_COMPILE_CACHE=<dir> or disable
 # with EGOREAR_COMPILE_CACHE=0.
-_cache = os.environ.get(
-    "EGOREAR_COMPILE_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-if _cache not in ("0", "", "off"):
-    try:
-        os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+from egorear_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np
 
@@ -102,14 +93,19 @@ def build_trainer(cfg, task, args):
         batch_size=args.get("batch_size", 32),
         workers=args.get("workers", 8),
         no_decay_mask=(cfg.task_name == "pose_3d_mvf_ex"
-                       and args.get("encoder_lr_scale", 1.0) == 1.0),
+                       and cfg.trainer.encoder_lr_scale == 1.0),
     )
 
 
 def _apply_encoder_lr(cfg, args):
     # Reference: encoder_lr_scale != 1.0 switches to the encoder param-group
-    # optimizer (pose_3d_mvf_ex.py:236-246).
-    cfg.trainer.encoder_lr_scale = float(args.get("encoder_lr_scale", 1.0))
+    # optimizer (pose_3d_mvf_ex.py:236-246). The knob lives in the model
+    # init_args (the reference's location); --trainer.encoder_lr_scale is
+    # this framework's extra CLI address -- an explicit model-level value
+    # wins, but a bare default must NOT clobber a trainer-level setting.
+    model_scale = float(args.get("encoder_lr_scale", 1.0))
+    if model_scale != 1.0 or cfg.trainer.encoder_lr_scale == 1.0:
+        cfg.trainer.encoder_lr_scale = model_scale
 
 
 def _datasets(args, split_pair):

@@ -144,8 +144,15 @@ def test_cache_in_memory(syn_root):
     ds = get_dataset("ego4view_syn_pose3d", syn_root, "train",
                      cache_in_memory=True)
     a, b = ds[0], ds[0]
-    assert a is b  # second hit is the resident dict, no re-decode
+    # Hits share the resident arrays (no re-decode) behind fresh dicts, and
+    # the arrays are frozen so an in-place consumer mutation can't poison
+    # later epochs.
+    assert a is not b and a["img"] is b["img"]
+    assert not a["img"].flags.writeable
+    with pytest.raises(ValueError):
+        a["img"][...] = 0
     np.testing.assert_array_equal(a["gt_pose"], ds[0]["gt_pose"])
-    # Default stays uncached (fresh arrays per access).
+    # Default stays uncached (fresh, writable arrays per access).
     ds2 = get_dataset("ego4view_syn_pose3d", syn_root, "train")
-    assert ds2[0] is not ds2[0]
+    c = ds2[0]
+    assert c["img"] is not ds2[0]["img"] and c["img"].flags.writeable

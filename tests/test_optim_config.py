@@ -89,6 +89,37 @@ def test_load_reference_format_config(tmp_path):
     assert cfg.trainer.devices == 1
 
 
+def test_trainer_encoder_lr_scale_cli_not_clobbered(tmp_path):
+    """--trainer.encoder_lr_scale must survive run.py's model-args merge
+    (an explicit model-level value still wins -- the reference's knob
+    location, pose_3d_mvf_ex.py:236-246)."""
+    cfg_dict = {
+        "model": {
+            "class_path": (
+                "pose_estimation.pl_wrappers.egoposeformer."
+                "Pose3DMVFEXLightningModel"
+            ),
+            "init_args": {
+                "model_cfg": {"num_views": 4},
+                "dataset_type": "ego4view_syn_pose3d",
+                "data_root": "/data",
+            },
+        },
+        "trainer": {"max_epochs": 1},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg_dict))
+    cfg = load_config(str(p), ["--trainer.encoder_lr_scale", "0.1"])
+    assert cfg.trainer.encoder_lr_scale == 0.1
+
+    import run as run_mod
+
+    run_mod._apply_encoder_lr(cfg, {})  # model args carry only the default
+    assert cfg.trainer.encoder_lr_scale == 0.1
+    run_mod._apply_encoder_lr(cfg, {"encoder_lr_scale": 0.2})
+    assert cfg.trainer.encoder_lr_scale == 0.2
+
+
 def test_all_shipped_configs_parse():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     names = sorted(os.listdir(os.path.join(repo, "configs")))

@@ -24,10 +24,8 @@ CHILD = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
 import jax, jax.numpy as jnp, numpy as np
-cache = os.path.join({repo!r}, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from egorear_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 from __graft_entry__ import _build
 fold = os.environ.get("EGOREAR_BENCH_FOLD_BN", "1") != "0"
 net, rig, _ = _build((256, 256))

@@ -36,9 +36,9 @@ def main():
     import numpy as np
     import optax
 
-    cache = os.path.join(REPO, ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    from egorear_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from __graft_entry__ import _build
     from egorear_tpu.data.datasets import get_dataset
