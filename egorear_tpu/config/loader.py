@@ -46,6 +46,10 @@ class ExperimentConfig:
     init_args: Dict[str, Any]
     trainer: TrainerConfig
     seed: int = 42
+    # Dotted keys that were set by CLI overrides (e.g. "model.init_args.
+    # encoder_lr_scale") -- lets precedence logic distinguish an explicit
+    # user choice from a YAML default with the same value.
+    cli_keys: frozenset = frozenset()
 
     @property
     def model_cfg(self) -> dict:
@@ -67,8 +71,13 @@ def _parse_scalar(s: str):
         return s
 
 
-def apply_overrides(raw: dict, overrides: List[str]) -> dict:
-    """--model.batch_size 1 --trainer.devices 1 style dot-overrides."""
+def apply_overrides(raw: dict, overrides: List[str],
+                    seen: Optional[set] = None) -> dict:
+    """--model.batch_size 1 --trainer.devices 1 style dot-overrides.
+
+    ``seen`` (if given) collects the resolved dotted keys that were set, so
+    callers can distinguish explicit CLI choices from YAML values.
+    """
     i = 0
     while i < len(overrides):
         tok = overrides[i]
@@ -84,14 +93,36 @@ def apply_overrides(raw: dict, overrides: List[str]) -> dict:
             val = overrides[i + 1]
             i += 2
         if key.startswith("model."):
-            _deep_set(raw, "model.init_args." + key[len("model."):], _parse_scalar(val))
-        elif key.startswith(("trainer.", "data.", "seed_everything")):
+            key = "model.init_args." + key[len("model."):]
             _deep_set(raw, key, _parse_scalar(val))
         elif key == "ckpt_path":
             raw["ckpt_path"] = val
         else:
             _deep_set(raw, key, _parse_scalar(val))
+        if seen is not None:
+            seen.add(key)
     return raw
+
+
+def _coerce(name: str, value, typ):
+    """Coerce a trainer knob to its declared type; clear error on failure."""
+    if isinstance(value, typ) and not (typ is not bool and isinstance(value, bool)):
+        return value
+    try:
+        if typ is bool:
+            if isinstance(value, str):
+                low = value.strip().lower()
+                if low in ("true", "1", "yes", "on"):
+                    return True
+                if low in ("false", "0", "no", "off"):
+                    return False
+                raise ValueError(low)
+            return bool(value)
+        return typ(value)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"trainer.{name} expects {typ.__name__}, got {value!r}"
+        ) from None
 
 
 def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerConfig:
@@ -111,10 +142,15 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
     # --trainer.<field> (they have no Lightning equivalent): auxiliary
     # subsystems plus checkpoint cadence (which otherwise only comes from a
     # Lightning ModelCheckpoint callback block).
-    for aux in ("profile_steps", "debug_nans", "auto_resume", "remat",
-                "encoder_lr_scale", "tp_min_dim", "tp_shard_stacked"):
+    # Coerce to the declared TrainerConfig field type at parse time so a
+    # quoted YAML value (tp_min_dim: "2048") fails HERE with a clear message
+    # instead of as a TypeError deep inside sharding/tracing.
+    aux_types = {"profile_steps": int, "debug_nans": bool, "auto_resume": bool,
+                 "remat": bool, "encoder_lr_scale": float, "tp_min_dim": int,
+                 "tp_shard_stacked": bool}
+    for aux, typ in aux_types.items():
         if aux in traw:
-            known[aux] = traw[aux]
+            known[aux] = _coerce(aux, traw[aux], typ)
     # Lightning logger/callback blocks: pull what matters, ignore the rest.
     for lg in traw.get("logger", []) or []:
         if isinstance(lg, dict) and "CSVLogger" in str(lg.get("class_path", "")):
@@ -147,8 +183,9 @@ def _trainer_config(traw: dict, save_dir: Optional[str], seed: int) -> TrainerCo
 def load_config(path: str, overrides: Optional[List[str]] = None) -> ExperimentConfig:
     with open(path) as f:
         raw = yaml.safe_load(f)
+    cli_keys: set = set()
     if overrides:
-        raw = apply_overrides(raw, list(overrides))
+        raw = apply_overrides(raw, list(overrides), seen=cli_keys)
 
     seed = int(raw.get("seed_everything", 42))
     model = raw.get("model", {})
@@ -159,7 +196,8 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> ExperimentC
     init_args = dict(model.get("init_args", {}))
     trainer = _trainer_config(dict(raw.get("trainer", {}) or {}), None, seed)
     cfg = ExperimentConfig(
-        task_name=task_name, init_args=init_args, trainer=trainer, seed=seed
+        task_name=task_name, init_args=init_args, trainer=trainer, seed=seed,
+        cli_keys=frozenset(cli_keys),
     )
     if raw.get("ckpt_path"):
         cfg.init_args["ckpt_path"] = raw["ckpt_path"]

@@ -35,7 +35,17 @@ def fold_views(img: jnp.ndarray, layout: str = "auto") -> jnp.ndarray:
     """
     B, V = img.shape[:2]
     if layout == "auto":
-        layout = "nchw" if img.shape[2] == 3 else "nhwc"
+        chan_first = img.shape[2] == 3
+        chan_last = img.shape[-1] == 3
+        if chan_first and not chan_last:
+            layout = "nchw"
+        elif chan_last and not chan_first:
+            layout = "nhwc"
+        else:
+            # True (B, V, 3, ..., 3) tie (or neither axis == 3, which the
+            # assert below rejects loudly): reference NCHW contract wins;
+            # pass an explicit layout to override.
+            layout = "nchw"
     if layout == "nchw":
         _, _, C, H, W = img.shape
         assert C == 3, f"not an NCHW image batch: {img.shape}"

@@ -70,6 +70,11 @@ def restore(path: str, target=None):
 
         with open(pkl, "rb") as f:
             return pickle.load(f)
+    if path.endswith(".pkl"):
+        # An explicit .pkl path that does not exist can only be a user error;
+        # falling through to orbax would produce a confusing error about a
+        # malformed checkpoint directory instead.
+        raise FileNotFoundError(f"checkpoint not found: {path}")
     ckptr = ocp.StandardCheckpointer()
     if target is None:
         return ckptr.restore(path)

@@ -157,6 +157,20 @@ class Trainer:
             raise ValueError(
                 f"model_parallel={mp} does not divide {len(devices)} devices"
             )
+        if trainer_cfg.tp_shard_stacked and mp > 1:
+            # Known-wrong configuration unless the XLA SPMD issue is ruled
+            # out for this model: see parallel/mesh.leaf_sharding and
+            # tests/test_tensor_parallel.py (stacked + downstream kernels
+            # both model-sharded -> ~14% backward grad-norm deviation).
+            logger.warning(
+                "tp_shard_stacked=True with model_parallel=%d: this enables "
+                "sharding of 3-D stacked refiner kernels, which has a KNOWN "
+                "XLA SPMD backward discrepancy when combined with sharded "
+                "downstream kernels (~14%% grad-norm deviation; see "
+                "egorear_tpu/parallel/mesh.py leaf_sharding docstring and "
+                "tests/test_tensor_parallel.py). Verify gradients against a "
+                "replicated run before trusting training results.", mp,
+            )
         data_n = len(devices) // mp
         n = math.gcd(data_n, batch_size) if batch_size else data_n
         if n < data_n:
@@ -480,20 +494,18 @@ class Trainer:
                 every_n_batches: int = 1) -> str:
         """Run inference over ``dataset`` and save predictions.
 
-        Writes one ``predictions.npz`` (stacked final + proposal 3D poses and
-        frame paths) and optionally per-frame skeleton OBJ meshes. The
+        Writes one ``predictions.npz`` whose keys come from the task's
+        ``predict_outputs`` (pose3d: final + proposal 3D poses; heatmap
+        stages: per-view heatmaps + decoded 2D anchors) plus frame paths,
+        and optionally per-frame skeleton OBJ meshes (pose3d only). The
         reference's predict_step only forwards batches without persisting
-        (pl_wrappers/egoposeformer/pose_3d_mvf_ex.py:161-163, and its
-        every-other-batch double-fire quirk at heatmap.py:118-123 is a bug we
-        do not reproduce); saving is this framework's addition.
+        (pl_wrappers/egoposeformer/pose_3d_mvf_ex.py:161-163,
+        heatmap.py:112-123 -- its every-other-batch double-fire quirk at
+        :118-123 is a bug we do not reproduce); saving is this framework's
+        addition.
         """
         import numpy as _np
 
-        if not hasattr(self.task, "rig"):
-            raise NotImplementedError(
-                "predict currently targets the pose3d task (3D outputs); "
-                "use evaluate() for the heatmap stages"
-            )
         loader = DataLoader(
             dataset, self.batch_size, shuffle=False, drop_last=False,
             num_workers=self.workers, sharding=None, device_put=False,
@@ -507,15 +519,11 @@ class Trainer:
         @jax.jit
         def _forward(state, batch):
             variables = {"params": state["params"], **state["extra_vars"]}
-            preds3d, _ = task.model.apply(
-                variables, batch["img"], task.rig,
-                batch.get("coord_trans_mat") if task.is_rw else None,
-                train=False,
-            )
-            return preds3d[-1], preds3d[0]
+            return task.predict_outputs(variables, batch)
 
         os.makedirs(out_dir, exist_ok=True)
-        finals, proposals, paths = [], [], []
+        collected: Dict[str, list] = {}
+        paths = []
         for bi, batch in enumerate(loader):
             if bi % every_n_batches:
                 continue
@@ -525,19 +533,23 @@ class Trainer:
                 arr = {k: np.concatenate(
                     [v, np.repeat(v[-1:], self.batch_size - n, axis=0)])
                     for k, v in arr.items()}
-            f, p = jax.device_get(_forward(self.state, arr))
-            finals.append(f[:n])
-            proposals.append(p[:n])
+            outs = jax.device_get(_forward(self.state, arr))
+            for k, v in outs.items():
+                collected.setdefault(k, []).append(np.asarray(v)[:n])
             paths.extend(batch.get("frame_path", [""] * n)[:n])
-        finals = np.concatenate(finals) if finals else np.zeros((0, 16, 3))
-        proposals = np.concatenate(proposals) if proposals else finals
+        stacked = {k: np.concatenate(v) for k, v in collected.items()}
+        # Pose3d compat: "proposal" mirrors "final" on an empty dataset.
+        if not stacked and hasattr(task, "rig"):
+            stacked = {"final": np.zeros((0, 16, 3)),
+                       "proposal": np.zeros((0, 16, 3))}
         out_path = os.path.join(out_dir, "predictions.npz")
-        _np.savez(out_path, final=finals, proposal=proposals,
-                  frame_path=np.array(paths, dtype=object))
-        if save_obj:
+        _np.savez(out_path, frame_path=np.array(paths, dtype=object),
+                  **stacked)
+        if save_obj and "final" in stacked:
             from egorear_tpu.utils.skeleton import export_pose_obj
 
-            for i, pose in enumerate(finals):
+            for i, pose in enumerate(stacked["final"]):
                 export_pose_obj(os.path.join(out_dir, f"pose_{i:06d}.obj"), pose)
-        logger.info(f"saved {len(finals)} predictions to {out_path}")
+        n_saved = len(next(iter(stacked.values()))) if stacked else 0
+        logger.info(f"saved {n_saved} predictions to {out_path}")
         return out_path

@@ -101,10 +101,18 @@ def _apply_encoder_lr(cfg, args):
     # Reference: encoder_lr_scale != 1.0 switches to the encoder param-group
     # optimizer (pose_3d_mvf_ex.py:236-246). The knob lives in the model
     # init_args (the reference's location); --trainer.encoder_lr_scale is
-    # this framework's extra CLI address -- an explicit model-level value
-    # wins, but a bare default must NOT clobber a trainer-level setting.
-    model_scale = float(args.get("encoder_lr_scale", 1.0))
-    if model_scale != 1.0 or cfg.trainer.encoder_lr_scale == 1.0:
+    # this framework's extra CLI address. Precedence, most- to
+    # least-explicit (the shipped YAMLs all carry a literal 1.0, so a YAML
+    # 1.0 must NOT clobber a trainer-level setting, but a user typing
+    # --model.encoder_lr_scale 1.0 on the CLI must be able to reset one):
+    #   1. CLI --model.encoder_lr_scale  (any value, incl. 1.0)
+    #   2. YAML model-level value != 1.0
+    #   3. trainer-level value (YAML or CLI)
+    if "encoder_lr_scale" not in args:
+        return
+    model_scale = float(args["encoder_lr_scale"])
+    from_cli = "model.init_args.encoder_lr_scale" in cfg.cli_keys
+    if from_cli or model_scale != 1.0 or cfg.trainer.encoder_lr_scale == 1.0:
         cfg.trainer.encoder_lr_scale = model_scale
 
 

@@ -41,6 +41,35 @@ def _mvfex_cfg(num_views, **kw):
     return MVFexNetCfg(**base)
 
 
+def test_fold_views_auto_layout():
+    """auto layout: channel axis detection must not mis-route an NHWC batch
+    whose HEIGHT happens to be 3 (ADVICE r3); the true 3x3 tie stays NCHW."""
+    from egorear_tpu.models.heatmap_net import fold_views
+
+    # Unambiguous NCHW / NHWC.
+    nchw = jnp.arange(2 * 2 * 3 * 4 * 5).reshape(2, 2, 3, 4, 5)
+    assert fold_views(nchw).shape == (4, 4, 5, 3)
+    nhwc = jnp.transpose(nchw, (0, 1, 3, 4, 2))
+    np.testing.assert_array_equal(fold_views(nchw), fold_views(nhwc))
+
+    # NHWC with H == 3 (shape (B, V, 3, W, 3), W != 3): channel-last wins
+    # only when channel-first doesn't also look plausible -- here BOTH axes
+    # are 3-sized only in the last dim? No: shape[2] == 3 AND shape[-1] == 3
+    # => documented NCHW tie-break. But (B, V, 5, W, 3) must be NHWC:
+    tall_nhwc = jnp.arange(2 * 2 * 5 * 4 * 3).reshape(2, 2, 5, 4, 3)
+    assert fold_views(tall_nhwc).shape == (4, 5, 4, 3)
+
+    # The genuine (B, V, 3, W, 3) tie resolves to NCHW (the reference
+    # contract); an explicit layout overrides.
+    tie = jnp.arange(2 * 2 * 3 * 4 * 3).reshape(2, 2, 3, 4, 3)
+    np.testing.assert_array_equal(fold_views(tie), fold_views(tie, "nchw"))
+    assert fold_views(tie, "nhwc").shape == (4, 3, 4, 3)
+
+    # Neither axis is 3: loud failure, not a silent mis-transpose.
+    with pytest.raises(AssertionError):
+        fold_views(jnp.zeros((2, 2, 5, 4, 7)))
+
+
 def test_heatmap_net_shapes():
     net = HeatmapNet(num_heatmap=15)
     img = jnp.zeros((2, 2, 3, IMG, IMG))

@@ -116,8 +116,68 @@ def test_trainer_encoder_lr_scale_cli_not_clobbered(tmp_path):
 
     run_mod._apply_encoder_lr(cfg, {})  # model args carry only the default
     assert cfg.trainer.encoder_lr_scale == 0.1
+    # The shipped YAMLs all carry a literal model-level 1.0: it must NOT
+    # clobber the explicit trainer-level setting.
+    run_mod._apply_encoder_lr(cfg, {"encoder_lr_scale": 1.0})
+    assert cfg.trainer.encoder_lr_scale == 0.1
     run_mod._apply_encoder_lr(cfg, {"encoder_lr_scale": 0.2})
     assert cfg.trainer.encoder_lr_scale == 0.2
+
+
+def test_cli_model_encoder_lr_scale_one_resets_trainer(tmp_path):
+    """--model.encoder_lr_scale 1.0 typed on the CLI (unlike a YAML 1.0)
+    must reset a trainer-level non-1.0 value (ADVICE r3)."""
+    cfg_dict = {
+        "model": {
+            "class_path": (
+                "pose_estimation.pl_wrappers.egoposeformer."
+                "Pose3DMVFEXLightningModel"
+            ),
+            "init_args": {
+                "model_cfg": {"num_views": 4},
+                "dataset_type": "ego4view_syn_pose3d",
+                "data_root": "/data",
+                "encoder_lr_scale": 1.0,  # like every shipped pose3d YAML
+            },
+        },
+        "trainer": {"max_epochs": 1},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg_dict))
+
+    import run as run_mod
+
+    cfg = load_config(str(p), ["--trainer.encoder_lr_scale", "0.1",
+                               "--model.encoder_lr_scale", "1.0"])
+    assert "model.init_args.encoder_lr_scale" in cfg.cli_keys
+    run_mod._apply_encoder_lr(cfg, cfg.init_args)
+    assert cfg.trainer.encoder_lr_scale == 1.0
+
+
+def test_trainer_aux_knob_coercion(tmp_path):
+    """Quoted YAML values for aux trainer knobs coerce at parse time; bad
+    values fail in the loader with a clear message (ADVICE r3)."""
+    import pytest
+
+    base = {
+        "model": {"class_path": "heatmap",
+                  "init_args": {"model_cfg": {}, "dataset_type": "x",
+                                "data_root": "/d"}},
+    }
+    p = tmp_path / "c.yaml"
+    base["trainer"] = {"tp_min_dim": "2048", "debug_nans": "true",
+                       "encoder_lr_scale": "0.5", "profile_steps": "3"}
+    p.write_text(yaml.safe_dump(base))
+    cfg = load_config(str(p))
+    assert cfg.trainer.tp_min_dim == 2048
+    assert cfg.trainer.debug_nans is True
+    assert cfg.trainer.encoder_lr_scale == 0.5
+    assert cfg.trainer.profile_steps == 3
+
+    base["trainer"] = {"tp_min_dim": "lots"}
+    p.write_text(yaml.safe_dump(base))
+    with pytest.raises(ValueError, match="tp_min_dim expects int"):
+        load_config(str(p))
 
 
 def test_all_shipped_configs_parse():

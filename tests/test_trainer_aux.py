@@ -105,3 +105,36 @@ def test_profile_steps_captures_trace(syn_root, tmp_path):
         tmp_path, "logs", "lightning_logs", "version_*", "profile", "**",
         "*.trace.json.gz"), recursive=True)
     assert traces, "profiler captured no trace"
+
+
+def test_restore_missing_pkl_raises_file_not_found(tmp_path):
+    """An explicit .pkl path that doesn't exist must fail with a clean
+    FileNotFoundError, not fall through to a confusing orbax error
+    (ADVICE r3)."""
+    from egorear_tpu.train import checkpoint as ckpt_lib
+
+    with pytest.raises(FileNotFoundError, match="checkpoint not found"):
+        ckpt_lib.restore(str(tmp_path / "nope.pkl"))
+
+
+def test_tp_shard_stacked_warns(tmp_path, caplog):
+    """Flipping --trainer.tp_shard_stacked with model_parallel > 1 must warn
+    loudly about the known XLA SPMD backward discrepancy (ADVICE r3)."""
+    import jax
+    import logging
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 (virtual) devices")
+    cfg = TrainerConfig(save_dir=str(tmp_path / "logs"), model_parallel=2,
+                        tp_shard_stacked=True)
+    # The egorear root logger sets propagate=False; attach the capture
+    # handler to it directly.
+    logging.getLogger("egorear").addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.WARNING, logger="egorear"):
+            Trainer(_task(), cfg, lr=1e-3, weight_decay=0.0,
+                    lr_decay_epochs=(), warmup_iters=1, batch_size=8,
+                    workers=0)
+    finally:
+        logging.getLogger("egorear").removeHandler(caplog.handler)
+    assert any("tp_shard_stacked" in r.message for r in caplog.records)
