@@ -162,6 +162,16 @@ class HeatmapTask:
         pred = self.model.apply(variables, batch["img"], train=False)
         return heatmap_eval_metrics(pred, batch["gt_heatmap"], "proposal")
 
+    def predict_outputs(self, variables, batch):
+        """Per-view heatmaps + decoded 2D anchors (the reference's
+        predict_step forwards heatmaps only, heatmap.py:112-123; decoded
+        anchor points are this framework's addition)."""
+        batch = prepare_batch(batch)
+        pred = self.model.apply(variables, batch["img"], train=False)
+        pts2d, conf, valid = argmax_2d(pred, threshold=0.5, normalize=True)
+        return {"heatmap": pred, "pts2d": pts2d, "pts2d_conf": conf,
+                "pts2d_valid": valid}
+
 
 class MVFexTask:
     """Stage 2: MVFex refinement with deep supervision
@@ -234,6 +244,17 @@ class MVFexTask:
                         )
                     )
         return out
+
+    def predict_outputs(self, variables, batch):
+        """Init + final refined per-view heatmaps and the final stage's
+        decoded 2D anchors (reference heatmap.py:112-123 forwards only)."""
+        batch = prepare_batch(batch)
+        hms, _ = self.model.apply(variables, batch["img"], train=False)
+        pts2d, conf, valid = argmax_2d(
+            hms[-1], threshold=self.cfg.heatmap_threshold, normalize=True
+        )
+        return {"heatmap": hms[-1], "heatmap_init": hms[0], "pts2d": pts2d,
+                "pts2d_conf": conf, "pts2d_valid": valid}
 
 
 class Pose3DTask:
@@ -335,6 +356,14 @@ class Pose3DTask:
         out.update(pose_eval_metrics(preds3d[-1], gt, "final"))
         out.update(pose_eval_metrics(preds3d[0], gt, "proposal"))
         return out
+
+    def predict_outputs(self, variables, batch):
+        """Final + proposal 3D poses (pose_3d_mvf_ex.py:161-163)."""
+        batch = prepare_batch(batch)
+        preds3d, _ = self.model.apply(
+            variables, batch["img"], self.rig, self._ctm(batch), train=False,
+        )
+        return {"final": preds3d[-1], "proposal": preds3d[0]}
 
 
 TASKS = {
