@@ -252,6 +252,10 @@ class MSDeformAttnLazy(nn.Module):
     n_heads: int = 8
     n_points: int = 16
     impl: str = "auto"
+    # Layout of per-group mem_pos tables along the folded batch: False =
+    # INTERLEAVED (batch-major (B, V) fold, element i uses table i % G);
+    # True = contiguous BLOCKS (view-major (V, B) fold, table i // (N/G)).
+    pos_block: bool = False
 
     @nn.compact
     def __call__(
@@ -263,9 +267,7 @@ class MSDeformAttnLazy(nn.Module):
         mem_kernel: Optional[jnp.ndarray] = None,  # (Cin, C)
         mem_bias: Optional[jnp.ndarray] = None,  # (C,)
         mem_pos: Optional[jnp.ndarray] = None,  # (H*W, C) shared, or
-        # (G, H*W, C): per-group tables INTERLEAVED along batch -- batch
-        # element i uses group table i % G (callers fold (B, V) batch-major,
-        # i = b*V + v, so G = V gives each view its own table).
+        # (G, H*W, C): per-group tables along the batch per ``pos_block``.
     ):
         from egorear_tpu.ops.deform_attn import lazy_deform_sample
 
@@ -305,7 +307,8 @@ class MSDeformAttnLazy(nn.Module):
         if mem_pos is not None:
             pos = mem_pos.astype(feat_raw.dtype)
         s_feat, s_pos, s_one = lazy_deform_sample(
-            feat_raw, loc, weights, pos=pos, impl=self.impl
+            feat_raw, loc, weights, pos=pos, impl=self.impl,
+            pos_block=self.pos_block,
         )
 
         wv_h = wv.reshape(C, nh, ch)
@@ -385,3 +388,40 @@ class Conv3x3S2Matmul(nn.Module):
                 term = jnp.einsum("bhwc,cd->bhwd", sl, kernel[dy, dx])
                 out = term if out is None else out + term
         return out + bias
+
+
+class Conv3x3S2Patches(nn.Module):
+    """3x3 stride-2 pad-1 convolution as ONE patches matmul.
+
+    Like :class:`Conv3x3S2Matmul` but materializes the 9 shifted slices into
+    a single (B, H/2, W/2, 9*Cin) patch tensor and contracts it with the
+    flattened kernel in one einsum: 9x larger K dim keeps the MXU busy with
+    one big batched matmul instead of 9 small accumulating ones, at the cost
+    of writing 2.25x the input once. Third A/B candidate for the vmapped
+    per-view refiner conv (the round-3 b64 trace's top op). Param
+    names/shapes match nn.Conv; checkpoints are interchangeable.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, Cin) NHWC
+        B, H, W, Cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, Cin, self.features),
+        ).astype(x.dtype)
+        bias = self.param(
+            "bias", zeros_init, (self.features,)
+        ).astype(x.dtype)
+
+        oh, ow = H // 2, W // 2
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        patches = jnp.concatenate(
+            [xp[:, dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2, :]
+             for dy in range(3) for dx in range(3)],
+            axis=-1,
+        )  # (B, oh, ow, 9*Cin)
+        w = kernel.reshape(9 * Cin, self.features)
+        return jnp.einsum("bhwk,kd->bhwd", patches, w) + bias

@@ -27,7 +27,14 @@ TPU-first deviations from the reference implementation (same math):
     sequential module calls.
   * Inside a transformer layer the per-view cross-attention loop (:905-911)
     is a single deformable-attention call with views folded into the batch.
-  * Feature maps are NHWC end to end.
+  * Feature maps are NHWC end to end, and multi-view FRAME FEATURES flow
+    VIEW-MAJOR (V, B, h, w, C) from the stereo estimators through the
+    refiner stack into the pose3d lifter: one materialization feeds the
+    vmap leading axis, the sampling contraction (block pos mode) and the
+    per-layer feature outputs, where the reference's batch-major layout
+    cost a concat copy plus a vmap re-layout copy per step (round-3 b64
+    trace: ~2-3 ms/step of pure dynamic-update-slice copies). Heatmaps
+    keep the reference's batch-major (B, V, J, h, w) public contract.
 """
 
 from __future__ import annotations
@@ -65,14 +72,21 @@ def _conv3x3s2(features: int, name: str):
     the per-view vmap) beats the 9-shifted-matmul form at these shapes
     (15.75 vs 19.1 ms/step full model) -- the strided slices cost more than
     the grouped conv. The round-3 b64 profile still shows the grouped-conv
-    transpose as the single biggest op (4.2 ms); EGOREAR_VMAP_CONV_IMPL=
-    matmul re-selects the matmul form for in-model measurement (identical
-    params/results either way).
+    transpose as the single biggest op (4.2 ms); EGOREAR_VMAP_CONV_IMPL
+    selects an alternate lowering for in-model measurement (identical
+    params/results every way):
+      matmul  -- 9 shifted accumulating matmuls
+      patches -- one im2col-style (.., 9*Cin) x (9*Cin, Cout) matmul
     """
     import os
 
-    if os.environ.get("EGOREAR_VMAP_CONV_IMPL") == "matmul":
+    impl = os.environ.get("EGOREAR_VMAP_CONV_IMPL")
+    if impl == "matmul":
         return Conv3x3S2Matmul(features, name=name)
+    if impl == "patches":
+        from egorear_tpu.models.layers import Conv3x3S2Patches
+
+        return Conv3x3S2Patches(features, name=name)
     return nn.Conv(
         features, (3, 3), strides=2, padding=((1, 1), (1, 1)), name=name
     )
@@ -94,15 +108,23 @@ class MultiViewTransformerLayer(nn.Module):
     embed_dims: int
     feat_shape: Tuple[int, int]
     cfg: TransformerLayerCfg = TransformerLayerCfg()
+    # Layout of the multi-view memory operands (memory / feat_raw):
+    #   False -- batch-major (B, V, HW, C), views folded as b*V + v;
+    #   True  -- view-major (V, B, HW, C), views folded as v*B + b.
+    # View-major lets callers hand the pre-concat front/back halves'
+    # natural stacking straight through without re-materializing the
+    # (B, V, ...) layout (the round-3 b64 trace charged ~2 ms/step of pure
+    # copies to exactly that). Queries/outputs stay (B, J, C) either way.
+    vmajor: bool = False
 
     @nn.compact
     def __call__(
         self,
         query: jnp.ndarray,  # (B, J, C)
-        memory: Optional[jnp.ndarray] = None,  # (B, V, HW, C)
+        memory: Optional[jnp.ndarray] = None,  # (B, V, HW, C) / (V, B, ...)
         anchors_2d: jnp.ndarray = None,  # (B, V, J, 2), [0, 1]
         anchors_valid: jnp.ndarray = None,  # (B, V, J) bool
-        feat_raw: Optional[jnp.ndarray] = None,  # (B, V, HW, Cin)
+        feat_raw: Optional[jnp.ndarray] = None,  # (B, V, HW, Cin) / (V, B, ..)
         mem_kernel: Optional[jnp.ndarray] = None,  # (Cin, C)
         mem_bias: Optional[jnp.ndarray] = None,  # (C,)
         mem_pos: Optional[jnp.ndarray] = None,  # (V, HW, C)
@@ -111,59 +133,84 @@ class MultiViewTransformerLayer(nn.Module):
         B, J, C = query.shape
         V = self.num_views
 
+        if self.vmajor:
+            # (V, B, J, ...) broadcast/fold: rows ordered v*B + b. Anchors
+            # and the valid mask arrive batch-major (they are tiny); the
+            # big grids are consumed in their native view-major layout.
+            def fold_q(q):
+                return jnp.broadcast_to(q[None], (V, B, J, C)).reshape(
+                    V * B, J, C)
+
+            anchors = jax.lax.stop_gradient(anchors_2d).transpose(
+                1, 0, 2, 3).reshape(V * B, J, 2)
+            valid = anchors_valid.transpose(1, 0, 2)  # (V, B, J)
+
+            def unfold(pv):  # (V*B, J, C) -> (B, J, V*C), view-minor concat
+                pv = pv.reshape(V, B, J, C)
+                pv = jnp.where(valid[..., None], pv, 0.0)
+                return pv.transpose(1, 2, 0, 3).reshape(B, J, V * C)
+        else:
+            def fold_q(q):
+                return jnp.broadcast_to(q[:, None], (B, V, J, C)).reshape(
+                    B * V, J, C)
+
+            anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
+
+            def unfold(pv):  # (B*V, J, C) -> (B, J, V*C)
+                pv = pv.reshape(B, V, J, C)
+                pv = jnp.where(anchors_valid[..., None], pv, 0.0)
+                return pv.transpose(0, 2, 1, 3).reshape(B, J, V * C)
+
         if self.cfg.use_normal_cross_attn and memory is None:
             # Dense attention needs the materialized grid.
             memory = feat_raw @ mem_kernel
             if mem_bias is not None:
                 memory = memory + mem_bias
             if mem_pos is not None:
-                memory = memory + mem_pos[None]
+                memory = memory + (mem_pos[:, None] if self.vmajor
+                                   else mem_pos[None])
 
         # --- cross attention into every view, views folded into batch ---
         identity = query
-        q_folded = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
-            B * V, J, C
-        )
+        q_folded = fold_q(query)
         if self.cfg.use_normal_cross_attn:
-            kv = memory.reshape(B * V, -1, C)
+            kv = memory.reshape(V * B, -1, C)
             attn = MultiheadAttention(
                 self.embed_dims, 4, name="cross_attn_dense"
             )
             per_view, _ = attn(q_folded, kv, kv)
-            per_view = per_view.reshape(B, V, J, C)
+            # No invalid-anchor masking on the dense path (reference parity).
+            pv = per_view.reshape((V, B, J, C) if self.vmajor
+                                  else (B, V, J, C))
+            fused = (pv.transpose(1, 2, 0, 3) if self.vmajor
+                     else pv.transpose(0, 2, 1, 3)).reshape(B, J, V * C)
         elif memory is not None:
-            kv = memory.reshape(B * V, -1, C)
-            anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
+            kv = memory.reshape(V * B, -1, C)
             per_view = MSDeformAttn(
                 d_model=self.embed_dims,
                 n_heads=self.cfg.cross_attn.num_heads,
                 n_points=16,
                 name="cross_attn",
             )(q_folded, anchors, kv, self.feat_shape)
-            per_view = per_view.reshape(B, V, J, C)
-            per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
+            fused = unfold(per_view)
         else:
-            # Batch-MAJOR (B, V) folding -- a free reshape on every operand.
-            # The (V, HW, C) pos table is matched to the interleaved view
-            # groups inside the sampling contraction (lazy_deform_sample),
-            # so no view-major transpose of the feature grid is needed.
+            # Folding is a free reshape on every big operand in BOTH
+            # layouts; the (V, HW, C) pos table is matched to the view
+            # groups inside the sampling contraction (lazy_deform_sample:
+            # interleaved for batch-major, block for view-major), so no
+            # transpose of the feature grid is ever needed.
             Cin = feat_raw.shape[-1]
-            fr = feat_raw.reshape(B * V, -1, Cin)
-            qv = jnp.broadcast_to(query[:, None], (B, V, J, C)).reshape(
-                B * V, J, C
-            )
-            anchors = jax.lax.stop_gradient(anchors_2d).reshape(B * V, J, 2)
+            fr = feat_raw.reshape(V * B, -1, Cin)
             per_view = MSDeformAttnLazy(
                 d_model=self.embed_dims,
                 n_heads=self.cfg.cross_attn.num_heads,
                 n_points=16,
+                pos_block=self.vmajor,
                 name="cross_attn",
-            )(qv, anchors, fr, self.feat_shape,
+            )(q_folded, anchors, fr, self.feat_shape,
               mem_kernel=mem_kernel, mem_bias=mem_bias, mem_pos=mem_pos)
-            per_view = per_view.reshape(B, V, J, C)
-            per_view = jnp.where(anchors_valid[..., None], per_view, 0.0)
+            fused = unfold(per_view)
 
-        fused = per_view.transpose(0, 2, 1, 3).reshape(B, J, V * C)
         fused = nn.Dense(self.embed_dims, name="fuse_mlp")(fused)
         x = nn.LayerNorm(name="norm_cross")(identity + fused)
 
@@ -218,13 +265,16 @@ class MVFexRefiner(nn.Module):
     feat_shape: Tuple[int, int]
     detach_heatmap_feat: bool
     cfg: MVFCfg
+    # frame_feat_mv layout: view-major (V, B, h, w, Cin) when True (see
+    # MultiViewTransformerLayer.vmajor), batch-major (B, V, ...) otherwise.
+    vmajor: bool = False
 
     @nn.compact
     def __call__(
         self,
         heatmap: jnp.ndarray,  # (B, J, h, w) this view's initial heatmaps
         frame_feat: jnp.ndarray,  # (B, h, w, Cin) this view's FPN features
-        frame_feat_mv: jnp.ndarray,  # (B, V, h, w, Cin) all views
+        frame_feat_mv: jnp.ndarray,  # all views, layout per ``vmajor``
         anchors_2d: jnp.ndarray,  # (B, V, J, 2)
         anchors_valid: jnp.ndarray,  # (B, V, J)
         bfb: jnp.ndarray,  # (B, 512) pooled backbone bottom, this view
@@ -282,14 +332,18 @@ class MVFexRefiner(nn.Module):
             nn.initializers.zeros,
             (1, V, h * w, C),
         )
-        feat_tokens = frame_feat_mv.reshape(B, V, h * w, Cin)
+        if self.vmajor:
+            feat_tokens = frame_feat_mv.reshape(V, B, h * w, Cin)
+        else:
+            feat_tokens = frame_feat_mv.reshape(B, V, h * w, Cin)
         if cfg.lazy_deform and not cfg.transformer.use_normal_cross_attn:
             memory = None
         else:
+            pos_bc = (mv_pos[0][:, None] if self.vmajor else mv_pos)
             memory = (
                 feat_tokens @ mem_kernel.astype(feat_tokens.dtype)
                 + mem_bias.astype(feat_tokens.dtype)
-                + mv_pos.astype(feat_tokens.dtype)
+                + pos_bc.astype(feat_tokens.dtype)
             )
 
         # ---- downsampled frame features for the residual head ----
@@ -298,12 +352,19 @@ class MVFexRefiner(nn.Module):
         f = relu(nn.Dense(Cin, name="ff_proj_2")(f))  # (B, h/2, w/2, Cin)
 
         list_heatmap, list_feat = [], []
+        # The 1x1 heatmap head is ONE module shared by every layer
+        # (reference HeatmapMVF declares a single self.conv_heatmap,
+        # egoposeformer_heatmap_mvf_ex.py:566,719); creating it inside the
+        # loop would raise NameInUseError for num_former_layers >= 2.
+        conv_heatmap = (nn.Dense(J, name="conv_heatmap")
+                        if cfg.use_1by1_conv else None)
         for idx in range(cfg.num_former_layers):
             x = MultiViewTransformerLayer(
                 num_views=V,
                 embed_dims=C,
                 feat_shape=self.feat_shape,
                 cfg=cfg.transformer,
+                vmajor=self.vmajor,
                 name=f"transformer_{idx}",
             )(x, memory, anchors_2d, anchors_valid,
               feat_raw=feat_tokens if memory is None else None,
@@ -337,7 +398,7 @@ class MVFexRefiner(nn.Module):
                 else refined
             )
             if cfg.use_1by1_conv:
-                hm = nn.Dense(J, name="conv_heatmap")(hm_in)
+                hm = conv_heatmap(hm_in)
             else:
                 y = relu(_conv3x3s2(Cin * 2, name=f"conv_hm_{idx}_0")(hm_in))
                 y = relu(nn.Dense(Cin * 2, name=f"conv_hm_{idx}_1")(y))
@@ -368,7 +429,15 @@ class ConvHeatmapHead(nn.Module):
 
 
 class HeatmapMVFexNet(nn.Module):
-    """Stage-2 network: stereo estimators + V stacked MVFex refiners."""
+    """Stage-2 network: stereo estimators + V stacked MVFex refiners.
+
+    ``__call__`` returns ``(list_heatmap, list_feat)``: heatmaps are
+    batch-major (B, V, J, h, w) -- the reference's public contract
+    (egoposeformer_heatmap_mvf_ex.py:299-437) -- while the frame-feature
+    stages are VIEW-MAJOR (V, B, h, w, C), the internal layout that lets
+    the front/back stereo halves be materialized exactly once (see
+    ``_estimator_outputs``); the pose3d lifter consumes them as such.
+    """
 
     cfg: MVFexNetCfg
 
@@ -393,11 +462,18 @@ class HeatmapMVFexNet(nn.Module):
             )
 
         # V refiners with independent weights, stacked and vmapped: one
-        # compiled program refines every view at once.
+        # compiled program refines every view at once. FPN features flow
+        # VIEW-MAJOR (V, B, h, w, C): the per-view arg vmaps over the
+        # leading axis (free slice, no transpose), the broadcast multi-view
+        # arg is consumed in the same layout by the sampling contraction
+        # (block pos mode), and the per-layer feature outputs come back
+        # view-major (out_axes 0) straight into the pose3d lifter -- so the
+        # front/back halves are materialized exactly once. Heatmaps stay
+        # batch-major (B, V, J, h, w): they are the public output contract.
         RefinerStack = nn.vmap(
             MVFexRefiner,
-            in_axes=(1, 1, None, None, None, 1, None, None),
-            out_axes=1,
+            in_axes=(1, 0, None, None, None, 1, None, None),
+            out_axes=(1, 0),
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
         )
@@ -407,6 +483,7 @@ class HeatmapMVFexNet(nn.Module):
             feat_shape=cfg.feat_shape,
             detach_heatmap_feat=cfg.detach_heatmap_feat,
             cfg=cfg.mvf,
+            vmajor=True,
         )
 
         self.use_1by1_conv = cfg.mvf.use_1by1_conv
@@ -422,10 +499,19 @@ class HeatmapMVFexNet(nn.Module):
     # -- stage-1 dispatch over the front/back stereo pairs ------------------
 
     def _estimator_outputs(self, img, train):
-        """Full stage-1: heatmaps + FPN feats + backbone bottom (s32), views
-        concatenated. Only the LAST pyramid level is consumed downstream
-        (the JQA pooled-bottom features), so the s4/s8/s16 levels are never
-        concatenated across the stereo pairs."""
+        """Full stage-1: heatmaps (batch-major) + VIEW-MAJOR FPN feats +
+        POOLED backbone bottom (s32).
+
+        The round-3 b64 TPU trace charged ~3.5 ms/step to pure copies of
+        this function's concats, so each output takes the cheapest layout
+        its consumers need:
+          * heatmaps (B, V, J, h, w) -- the public output contract;
+          * feats (V, B, h, w, C) -- one view-major materialization serves
+            BOTH refiner consumers (vmap leading axis + block-pos sampling)
+            instead of a batch-major concat followed by a second
+            vmap-layout copy;
+          * backbone bottom pooled per stereo half BEFORE the concat
+            ((B, V, 512) instead of (B, V, 8, 8, 512))."""
         cfg = self.cfg
         if cfg.num_views >= 3:
             hm_f, feat_f, pyr_f = self.heatmap_estimator_stereo_front(
@@ -435,24 +521,32 @@ class HeatmapMVFexNet(nn.Module):
                 img[:, 2:], train, return_feat=True
             )
             hm = jnp.concatenate([hm_f, hm_b], axis=1)
-            feat = jnp.concatenate([feat_f, feat_b], axis=1)
-            bfb = jnp.concatenate([pyr_f[-1], pyr_b[-1]], axis=1)
+            feat = jnp.concatenate(
+                [feat_f.transpose(1, 0, 2, 3, 4),
+                 feat_b.transpose(1, 0, 2, 3, 4)], axis=0
+            )  # (V, B, h, w, C)
+            bfb_pooled = jnp.concatenate(
+                [pyr_f[-1].mean(axis=(2, 3)), pyr_b[-1].mean(axis=(2, 3))],
+                axis=1,
+            )  # (B, V, 512)
         else:
             hm, feat, pyramid = self.heatmap_estimator_stereo_front(
                 img, train, return_feat=True
             )
-            bfb = pyramid[-1]
-        return hm, feat, bfb
+            feat = feat.transpose(1, 0, 2, 3, 4)  # (V, B, h, w, C)
+            bfb_pooled = pyramid[-1].mean(axis=(2, 3))
+        return hm, feat, bfb_pooled
 
     def _estimator_features(self, img, train):
         """Front/back backbone features.
 
-        Returns ``(feat, bfb, fb_pair)`` where ``fb_pair`` is the pre-concat
-        ``(feat_front, feat_back)`` tuple (or None for the stereo-only
-        layout): the conv-stack heatmap heads consume the halves directly,
-        so routing the pair to them avoids a slice right back out of the
-        freshly materialized (B, V, ...) concat (the concat shows up as pure
-        dynamic-update-slice copies in the b64 TPU trace).
+        Returns ``(feat, bfb, fb_pair)``: ``feat`` is the VIEW-MAJOR
+        (V, B, h, w, C) stack (see ``_estimator_outputs`` for the layout
+        rationale), ``bfb`` the per-half-pooled (B, V, 512) bottom
+        features, and ``fb_pair`` the pre-concat batch-major
+        ``(feat_front, feat_back)`` halves (or None for the stereo-only
+        layout) -- the conv-stack heatmap heads consume the halves
+        directly, never the stacked tensor.
         """
         cfg = self.cfg
         if cfg.num_views >= 3:
@@ -462,42 +556,63 @@ class HeatmapMVFexNet(nn.Module):
             feat_b, pyr_b = self.heatmap_estimator_stereo_back.backbone_features(
                 img[:, 2:], train
             )
-            feat = jnp.concatenate([feat_f, feat_b], axis=1)
-            bfb = jnp.concatenate([pyr_f[-1], pyr_b[-1]], axis=1)
-            return feat, bfb, (feat_f, feat_b)
+            feat = jnp.concatenate(
+                [feat_f.transpose(1, 0, 2, 3, 4),
+                 feat_b.transpose(1, 0, 2, 3, 4)], axis=0
+            )  # (V, B, h, w, C)
+            bfb_pooled = jnp.concatenate(
+                [pyr_f[-1].mean(axis=(2, 3)), pyr_b[-1].mean(axis=(2, 3))],
+                axis=1,
+            )  # (B, V, 512) -- pooled per half, see _estimator_outputs
+            return feat, bfb_pooled, (feat_f, feat_b)
         feat, pyramid = self.heatmap_estimator_stereo_front.backbone_features(
             img, train
         )
-        return feat, pyramid[-1], None
+        return (feat.transpose(1, 0, 2, 3, 4),
+                pyramid[-1].mean(axis=(2, 3)), None)
 
     def _heatmaps_from_feat(self, feat, fb_pair=None):
         """Conv-stack heads at the MVFEX level (used when not use_1by1_conv).
 
-        ``fb_pair`` short-circuits the front/back re-slice when the caller
-        still holds the pre-concat halves (see ``_estimator_features``).
+        ``feat`` is the view-major (V, B, h, w, C) stack; ``fb_pair``
+        short-circuits the front/back re-slice with the pre-concat
+        batch-major halves when the caller still holds them (see
+        ``_estimator_features``). Returns batch-major (B, V, J, h, w).
         """
         cfg = self.cfg
-        B, V = feat.shape[:2]
+        V, B = feat.shape[:2]
         J = cfg.num_heatmap
+        spatial = feat.shape[2:]
         if cfg.num_views >= 3:
-            feat_f, feat_b = fb_pair if fb_pair is not None else (
-                feat[:, 0:2], feat[:, 2:]
-            )
-            f = feat_f.reshape(B * 2, *feat.shape[2:])
-            b = feat_b.reshape(B * (V - 2), *feat.shape[2:])
-            hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
-            hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
-            hm = jnp.concatenate(
-                [
-                    hm_f.reshape(B, 2, J, *hm_f.shape[2:]),
-                    hm_b.reshape(B, V - 2, J, *hm_b.shape[2:]),
-                ],
-                axis=1,
-            )
+            if fb_pair is not None:
+                feat_f, feat_b = fb_pair  # (B, 2, h, w, C) each
+                f = feat_f.reshape(B * 2, *spatial)
+                b = feat_b.reshape(B * (V - 2), *spatial)
+                hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
+                hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
+                hm = jnp.concatenate(
+                    [
+                        hm_f.reshape(B, 2, J, *hm_f.shape[2:]),
+                        hm_b.reshape(B, V - 2, J, *hm_b.shape[2:]),
+                    ],
+                    axis=1,
+                )
+            else:
+                f = feat[0:2].reshape(2 * B, *spatial)  # view-major fold
+                b = feat[2:].reshape((V - 2) * B, *spatial)
+                hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
+                hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
+                hm = jnp.concatenate(
+                    [
+                        hm_f.reshape(2, B, J, *hm_f.shape[2:]),
+                        hm_b.reshape(V - 2, B, J, *hm_b.shape[2:]),
+                    ],
+                    axis=0,
+                ).transpose(1, 0, 2, 3, 4)
         else:
-            f = feat.reshape(B * V, *feat.shape[2:])
+            f = feat.reshape(V * B, *spatial)  # view-major fold
             hm = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
-            hm = hm.reshape(B, V, J, *hm.shape[2:])
+            hm = hm.reshape(V, B, J, *hm.shape[2:]).transpose(1, 0, 2, 3, 4)
         return hm
 
     def get_anchors_2d(self, heatmap):
@@ -518,6 +633,8 @@ class HeatmapMVFexNet(nn.Module):
         sg = jax.lax.stop_gradient
 
         # ---- stage-1 with the reference detach policy (:236-297) ----
+        # bfb_* carries the already-pooled (B, V, 512) backbone-bottom
+        # features (pooling commutes with stop_gradient and the concat).
         if self.use_1by1_conv:
             hm_init, feat_init, bfb_init = self._estimator_outputs(img, train)
             if not cfg.full_training:
@@ -559,8 +676,7 @@ class HeatmapMVFexNet(nn.Module):
         )
         anchors_2d, _, anchors_valid = self.get_anchors_2d(anchor_src)
 
-        # pooled bottom-of-backbone features (B, V, 512)
-        bfb_pooled = bfb.mean(axis=(2, 3))
+        bfb_pooled = bfb  # (B, V, 512), pooled upstream of the pair concat
 
         # ---- stacked refiners over all views at once ----
         hm_layers, feat_layers = self.refiners(
@@ -573,7 +689,10 @@ class HeatmapMVFexNet(nn.Module):
             bfb_pooled,  # broadcast
             train,
         )
-        # hm_layers: list over layers of (B, V, J, h, w); feat_layers likewise.
+        # hm_layers: list over layers of (B, V, J, h, w) batch-major;
+        # feat_layers of (V, B, h, w, C) VIEW-MAJOR (out_axes 0: the vmap
+        # emits them with the view axis leading for free, and the pose3d
+        # lifter consumes that layout directly).
         list_heatmap.extend(hm_layers)
         list_feat.extend(feat_layers)
         return list_heatmap, list_feat

@@ -84,8 +84,8 @@ class Pose3DLifter(nn.Module):
     @nn.compact
     def __call__(
         self,
-        frame_feats_init: jnp.ndarray,  # (B, V, h, w, Cin)
-        frame_feats_final: jnp.ndarray,  # (B, V, h, w, Cin)
+        frame_feats_init: jnp.ndarray,  # (V, B, h, w, Cin) VIEW-MAJOR
+        frame_feats_final: jnp.ndarray,  # (V, B, h, w, Cin) VIEW-MAJOR
         heatmap_final: jnp.ndarray,  # (B, V, J_hm, h, w)
         rig: CameraRig,
         coord_trans_mat: Optional[jnp.ndarray] = None,
@@ -101,7 +101,13 @@ class Pose3DLifter(nn.Module):
         # ops/camera.py unrealego_project.
         del origin_3d
         cfg = self.cfg
-        B, V, h, w, Cin = frame_feats_final.shape
+        # VIEW-MAJOR frame features (V, B, h, w, Cin): the layout the MVFex
+        # stage emits for free (models/mvfex.py RefinerStack out_axes) --
+        # consuming it directly avoids re-materializing a batch-major copy.
+        # Only the tiny proposal-MLP inputs are re-ordered (below), and in
+        # exactly the flatten order the reference uses, so converted
+        # checkpoints stay weight-compatible.
+        V, B, h, w, Cin = frame_feats_final.shape
         J = cfg.num_joints
         C = cfg.embed_dims
 
@@ -112,7 +118,7 @@ class Pose3DLifter(nn.Module):
         # 1x1 memory projection, Dense-shaped; never applied to the grid in
         # the lazy path (folded into post-sampling projections instead).
         mem_kernel, mem_bias = LinearParams(Cin, C, name="feat_proj")()
-        feat_tokens = frame_feats.reshape(B, V, h * w, Cin)
+        feat_tokens = frame_feats.reshape(V, B, h * w, Cin)
         if cfg.lazy_deform and not cfg.transformer.use_normal_cross_attn:
             memory = None
         else:
@@ -123,8 +129,9 @@ class Pose3DLifter(nn.Module):
 
         # ---- 3D proposal ----
         if cfg.use_mlp_avgpool:
-            pooled = frame_feats_final.mean(axis=(2, 3))  # (B, V, Cin)
-            mlp_pred = self._proposal_mlp(pooled.reshape(B, V * Cin), train)
+            pooled = frame_feats_final.mean(axis=(2, 3))  # (V, B, Cin)
+            mlp_pred = self._proposal_mlp(
+                pooled.transpose(1, 0, 2).reshape(B, V * Cin), train)
         elif cfg.use_mlp_heatmap:
             # Per-view conv stacks over the predicted heatmaps (:183-226).
             d = 32
@@ -144,7 +151,7 @@ class Pose3DLifter(nn.Module):
             stacked = jnp.stack(feats, axis=1)  # (B, V, 8, 8, 2d)
             mlp_pred = self._proposal_mlp(stacked.reshape(B, -1), train)
         else:
-            y = frame_feats_final.reshape(B * V, h, w, Cin)
+            y = frame_feats_final.reshape(V * B, h, w, Cin)  # view-major fold
             y = relu(nn.Conv(Cin // 2, (1, 1), name="conv_ff_0")(y))
             y = relu(
                 nn.Conv(Cin, (3, 3), strides=2, padding=((1, 1), (1, 1)),
@@ -155,7 +162,11 @@ class Pose3DLifter(nn.Module):
             y = relu(
                 nn.Conv(Cin, (3, 3), strides=2, padding=((1, 1), (1, 1)),
                         name="conv_ff_3")(y)
-            )  # (B*V, h/8, w/8, Cin)
+            )  # (V*B, h/8, w/8, Cin)
+            # Flatten per sample with views OUTERMOST -- the reference's
+            # (B*V, ...).reshape(B, -1) order (egoposeformer_mvf_ex.py:
+            # 309-322) -- so mlp_pred_0 weights stay converter-compatible.
+            y = y.reshape(V, B, -1).transpose(1, 0, 2)
             mlp_pred = self._proposal_mlp(y.reshape(B, -1), train)
 
         if cfg.norm_mlp_pred:
@@ -193,6 +204,7 @@ class Pose3DLifter(nn.Module):
                 embed_dims=C,
                 feat_shape=self.feat_shape,
                 cfg=cfg.transformer,
+                vmajor=True,
                 name=f"transformer_{idx}",
             )(x, memory, anchors_2d, anchors_valid,
               feat_raw=feat_tokens if memory is None else None,

@@ -636,7 +636,7 @@ def _build_s_operator(loc, attn_w, H, W, out_dtype):
     return S, s_one, (JP, H1, COLS)
 
 
-def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
+def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos, block=False):
     feat, loc, attn_w = map(jnp.asarray, (feat, loc, attn_w))
     B, HW, Cin = feat.shape
     Q, nh = loc.shape[1], loc.shape[2]
@@ -664,15 +664,24 @@ def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
             pos = pos[None]
         G = pos.shape[0]
         assert B % G == 0, (B, G)
-        # The batch axis interleaves the G groups (batch-major (B, V) fold:
-        # batch index = b * G + g), so callers need no view-major transpose
-        # of the feature grid; one batched contraction per group.
-        S6 = S5.reshape(B // G, G, Gq, JP, H1, COLS)
-        s_pos_flat = jnp.einsum(
-            "bvgjhm,vhmc->bvgjc",
-            S6, pos.astype(S.dtype).reshape(G, H1, COLS, pos.shape[-1]),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, NQp, pos.shape[-1])
+        # The G group tables map onto the batch axis either INTERLEAVED
+        # (batch-major (B, V) fold: index = b * G + g, ``block=False``) or
+        # in contiguous BLOCKS (view-major (V, B) fold: index = g * (B//G)
+        # + b, ``block=True``); both are pure leading-dim reshapes of S,
+        # so callers never transpose the feature grid.
+        posr = pos.astype(S.dtype).reshape(G, H1, COLS, pos.shape[-1])
+        if block:
+            S6 = S5.reshape(G, B // G, Gq, JP, H1, COLS)
+            s_pos_flat = jnp.einsum(
+                "vbgjhm,vhmc->vbgjc", S6, posr,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, NQp, pos.shape[-1])
+        else:
+            S6 = S5.reshape(B // G, G, Gq, JP, H1, COLS)
+            s_pos_flat = jnp.einsum(
+                "bvgjhm,vhmc->bvgjc", S6, posr,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, NQp, pos.shape[-1])
 
     def _split(o):
         # Padded query rows are zeros; drop them on the small outputs.
@@ -685,7 +694,7 @@ def _lazy_sample_pallas_fwd(feat, loc, attn_w, pos):
     return s_feat, s_pos, s_one
 
 
-def _lazy_sample_reference(feat, loc, attn_w, pos):
+def _lazy_sample_reference(feat, loc, attn_w, pos, block=False):
     """Differentiable jnp twin of the fused lazy kernel (used as its VJP and
     as the f32 / non-TPU path). Samples via the smatrix formulation."""
     B, HW, Cin = feat.shape
@@ -694,6 +703,9 @@ def _lazy_sample_reference(feat, loc, attn_w, pos):
     if pos is not None:
         if pos.ndim == 2:
             pos_b = jnp.broadcast_to(pos[None], (B,) + pos.shape)
+        elif block:  # (G, HW, C), contiguous blocks (view-major: g*(B//G)+b)
+            G = pos.shape[0]
+            pos_b = jnp.repeat(pos, B // G, axis=0)
         else:  # (G, HW, C), groups interleaved along the batch (b*G + g)
             G = pos.shape[0]
             pos_b = jnp.tile(pos, (B // G, 1, 1))
@@ -708,16 +720,17 @@ def _lazy_sample_reference(feat, loc, attn_w, pos):
     return s_feat, None, s[..., -1:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _lazy_sample(feat, loc, attn_w, pos):
-    return _lazy_sample_pallas_fwd(feat, loc, attn_w, pos)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lazy_sample(block, feat, loc, attn_w, pos):
+    return _lazy_sample_pallas_fwd(feat, loc, attn_w, pos, block)
 
 
-def _lazy_fwd_rule(feat, loc, attn_w, pos):
-    return _lazy_sample_pallas_fwd(feat, loc, attn_w, pos), (feat, loc, attn_w, pos)
+def _lazy_fwd_rule(block, feat, loc, attn_w, pos):
+    return (_lazy_sample_pallas_fwd(feat, loc, attn_w, pos, block),
+            (feat, loc, attn_w, pos))
 
 
-def _lazy_bwd_rule(res, g):
+def _lazy_bwd_rule(block, res, g):
     """Analytic VJP of the lazy sampling op.
 
     The round-1 backward ran generic AD through the jnp reference twin --
@@ -764,23 +777,38 @@ def _lazy_bwd_rule(res, g):
         pos3 = pos[None] if pos.ndim == 2 else pos
         G = pos3.shape[0]
         gp = pack(g_pos).astype(S.dtype)
-        S6 = S5.reshape(B // G, G, Gq, JP, H1, COLS)
-        d_pos3 = jnp.einsum(
-            "bvgjhm,bvgjc->vhmc",
-            S6, gp.reshape(B // G, G, Gq, JP, -1),
-            preferred_element_type=jnp.float32,
-        ).reshape(G, HW, pos3.shape[-1]).astype(pos.dtype)
+        if block:  # view-major fold: groups are contiguous batch blocks
+            S6 = S5.reshape(G, B // G, Gq, JP, H1, COLS)
+            d_pos3 = jnp.einsum(
+                "vbgjhm,vbgjc->vhmc",
+                S6, gp.reshape(G, B // G, Gq, JP, -1),
+                preferred_element_type=jnp.float32,
+            ).reshape(G, HW, pos3.shape[-1]).astype(pos.dtype)
+        else:
+            S6 = S5.reshape(B // G, G, Gq, JP, H1, COLS)
+            d_pos3 = jnp.einsum(
+                "bvgjhm,bvgjc->vhmc",
+                S6, gp.reshape(B // G, G, Gq, JP, -1),
+                preferred_element_type=jnp.float32,
+            ).reshape(G, HW, pos3.shape[-1]).astype(pos.dtype)
         d_pos = d_pos3[0] if pos.ndim == 2 else d_pos3
 
     # ---- adjoint field A (B, Q, nh, HW) in f32 ----
     A = jnp.einsum("bqnc,bsc->bqns", g_feat.astype(feat.dtype), feat,
                    preferred_element_type=jnp.float32)
     if pos is not None:
-        gp4 = g_pos.reshape(B // G, G, Q, nh, -1).astype(pos3.dtype)
-        A = A + jnp.einsum(
-            "bvqnc,vsc->bvqns", gp4, pos3,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, Q, nh, HW)
+        if block:
+            gp4 = g_pos.reshape(G, B // G, Q, nh, -1).astype(pos3.dtype)
+            A = A + jnp.einsum(
+                "vbqnc,vsc->vbqns", gp4, pos3,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, Q, nh, HW)
+        else:
+            gp4 = g_pos.reshape(B // G, G, Q, nh, -1).astype(pos3.dtype)
+            A = A + jnp.einsum(
+                "bvqnc,vsc->bvqns", gp4, pos3,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, Q, nh, HW)
     A = A + g_one.astype(jnp.float32)  # ones channel: constant over hw
 
     # ---- per-point adjoint contractions via separable one-hot factors ----
@@ -828,14 +856,17 @@ def _lazy_bwd_rule(res, g):
 _lazy_sample.defvjp(_lazy_fwd_rule, _lazy_bwd_rule)
 
 
-def lazy_deform_sample(feat, loc, attn_w, pos=None, impl: str = "auto"):
+def lazy_deform_sample(feat, loc, attn_w, pos=None, impl: str = "auto",
+                       pos_block: bool = False):
     """Sample raw memory (+ optional batch-independent pos table) at
     deformable locations, returning (s_feat, s_pos|None, s_one).
 
     feat (B, HW, Cin); loc (B, Q, nh, P, 2); attn_w (B, Q, nh, P);
-    pos (HW, C) or (G, HW, C) with the G groups INTERLEAVED along the batch
-    (batch index = b * G + g, i.e. a batch-major (B, V) fold with G = V).
-    The ones-sample s_one rescales additive constants at zero-padded borders.
+    pos (HW, C) or (G, HW, C) with the G groups laid out along the batch
+    either INTERLEAVED (batch index = b * G + g, batch-major (B, V) fold,
+    the default) or in contiguous BLOCKS (index = g * (B//G) + b, view-major
+    (V, B) fold, ``pos_block=True``). The ones-sample s_one rescales
+    additive constants at zero-padded borders.
     """
     if impl == "auto":
         import os
@@ -843,5 +874,5 @@ def lazy_deform_sample(feat, loc, attn_w, pos=None, impl: str = "auto"):
         default = "pallas" if feat.dtype == jnp.bfloat16 else "reference"
         impl = os.environ.get("EGOREAR_LAZY_IMPL", default)
     if impl == "pallas":
-        return _lazy_sample(feat, loc, attn_w, pos)
-    return _lazy_sample_reference(feat, loc, attn_w, pos)
+        return _lazy_sample(pos_block, feat, loc, attn_w, pos)
+    return _lazy_sample_reference(feat, loc, attn_w, pos, pos_block)

@@ -17,6 +17,9 @@ import sys
 
 import pytest
 
+# Requires the real TPU chip (auto-skips when the tunnel is down).
+pytestmark = pytest.mark.tpu
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = r"""
@@ -46,10 +49,10 @@ w = jax.nn.softmax(
 pos = jnp.asarray(rng.normal(size=(G, H * W, 16)), jnp.bfloat16)
 
 
-def loss(impl):
+def loss(impl, block=False):
     def f(feat, loc, w, pos):
         s_feat, s_pos, s_one = lazy_deform_sample(
-            feat, loc, w, pos=pos, impl=impl
+            feat, loc, w, pos=pos, impl=impl, pos_block=block
         )
         t = (s_feat.astype(jnp.float32) ** 2).sum()
         t += (s_pos.astype(jnp.float32) ** 2).sum()
@@ -65,15 +68,19 @@ def run(f):
     )
     return jax.device_get(out)
 
-v_pal, g_pal = run(loss("pallas"))
-v_ref, g_ref = run(loss("reference"))
 
-np.testing.assert_allclose(v_pal, v_ref, rtol=2e-2)
-for a, b, name in zip(g_pal, g_ref, ("feat", "loc", "w", "pos")):
-    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
-    denom = max(float(np.abs(b).max()), 1e-3)
-    err = float(np.abs(a - b).max()) / denom
-    assert err < 5e-2, (name, err)
+def check(v_pal, g_pal, v_ref, g_ref):
+    np.testing.assert_allclose(v_pal, v_ref, rtol=2e-2)
+    for a, b, name in zip(g_pal, g_ref, ("feat", "loc", "w", "pos")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(float(np.abs(b).max()), 1e-3)
+        err = float(np.abs(a - b).max()) / denom
+        assert err < 5e-2, (name, err)
+
+
+check(*run(loss("pallas")), *run(loss("reference")))
+# View-major (block) pos layout through the same Mosaic kernel.
+check(*run(loss("pallas", block=True)), *run(loss("reference", block=True)))
 print("OK")
 """
 

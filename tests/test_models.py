@@ -96,7 +96,9 @@ def test_mvfex_shapes_all_view_layouts(num_views):
     for hm in hms:
         assert hm.shape == (1, num_views, 15, HM, HM)
     for f in feats:
-        assert f.shape == (1, num_views, HM, HM, 128)
+        # Frame-feature stages are VIEW-MAJOR (V, B, h, w, C) -- the
+        # internal layout contract (HeatmapMVFexNet docstring).
+        assert f.shape == (num_views, 1, HM, HM, 128)
     # V refiners with independent weights stacked along axis 0.
     ref_params = vs["params"]["refiners"]
     leaf = jax.tree.leaves(ref_params)[0]

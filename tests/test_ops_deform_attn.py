@@ -216,3 +216,46 @@ def test_lazy_sample_gradients_flow_through_reference():
         )(feat, loc, w, pos)
     for a, b in zip(g_ref, g_pl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_lazy_sample_pos_block_mode_matches_interleaved():
+    """View-major (block) pos layout == batch-major (interleaved) layout
+    after reordering the folded rows, values AND pos-gradients (the layout
+    contract behind MultiViewTransformerLayer.vmajor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from egorear_tpu.ops.deform_attn import lazy_deform_sample
+
+    rng = np.random.default_rng(11)
+    B, V, H, W, Cin, Q, nh, P, C = 3, 4, 8, 8, 8, 5, 2, 4, 6
+    HW = H * W
+    feat = jnp.asarray(rng.normal(size=(B, V, HW, Cin)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, V, Q, nh, P, 2)),
+                      jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, V, Q, nh, P)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(V, HW, C)), jnp.float32)
+
+    fI = feat.reshape(B * V, HW, Cin)
+    lI = loc.reshape(B * V, Q, nh, P, 2)
+    wI = w.reshape(B * V, Q, nh, P)
+    fB = feat.transpose(1, 0, 2, 3).reshape(V * B, HW, Cin)
+    lB = loc.transpose(1, 0, 2, 3, 4, 5).reshape(V * B, Q, nh, P, 2)
+    wB = w.transpose(1, 0, 2, 3, 4).reshape(V * B, Q, nh, P)
+
+    sI = lazy_deform_sample(fI, lI, wI, pos=pos, impl="reference")
+    sB = lazy_deform_sample(fB, lB, wB, pos=pos, impl="reference",
+                            pos_block=True)
+    for a, b in zip(sI, sB):
+        ar = np.asarray(a).reshape(B, V, *a.shape[1:])
+        br = np.asarray(b).reshape(V, B, *b.shape[1:]).swapaxes(0, 1)
+        np.testing.assert_allclose(ar, br, atol=1e-6)
+
+    def loss(p, f, l, ww, blk):
+        s = lazy_deform_sample(f, l, ww, pos=p, impl="reference",
+                               pos_block=blk)
+        return s[0].sum() + 1.7 * s[1].sum() + 0.3 * s[2].sum()
+
+    gI = jax.grad(loss)(pos, fI, lI, wI, False)
+    gB = jax.grad(loss)(pos, fB, lB, wB, True)
+    np.testing.assert_allclose(np.asarray(gI), np.asarray(gB), atol=1e-5)

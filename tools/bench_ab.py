@@ -67,7 +67,9 @@ def main():
         "",
         "EGOREAR_BENCH_FOLD_BN=0",
         "EGOREAR_VMAP_CONV_IMPL=matmul",
+        "EGOREAR_VMAP_CONV_IMPL=patches",
         "EGOREAR_SBUILD_BP=8",
+        "EGOREAR_SBUILD_BP=8,EGOREAR_VMAP_CONV_IMPL=patches",
         "EGOREAR_SBUILD_BP=8,EGOREAR_VMAP_CONV_IMPL=matmul",
     ])
     args = ap.parse_args()
