@@ -19,6 +19,9 @@ import sys
 import numpy as np
 import pytest
 
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

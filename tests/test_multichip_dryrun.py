@@ -14,6 +14,10 @@ conftest.py, which would mask the bug).
 import os
 import subprocess
 import sys
+import pytest
+
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

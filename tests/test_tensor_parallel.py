@@ -18,6 +18,9 @@ from egorear_tpu.parallel.mesh import leaf_sharding, make_mesh, param_shardings
 from egorear_tpu.train.tasks import Pose3DTask
 from egorear_tpu.train.trainer import Trainer, TrainerConfig
 
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
+pytestmark = pytest.mark.slow
+
 ENCODER_CFG = {
     "resnet_cfg": {"model_name": "resnet18", "out_stride": 4,
                    "use_imagenet_pretrain": False},

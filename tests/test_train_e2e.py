@@ -17,6 +17,9 @@ from egorear_tpu.train import checkpoint as ckpt_lib
 from egorear_tpu.train.tasks import HeatmapTask, MVFexTask, Pose3DTask
 from egorear_tpu.train.trainer import Trainer, TrainerConfig
 
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
+pytestmark = pytest.mark.slow
+
 IMG = 64
 
 ENCODER_CFG = {

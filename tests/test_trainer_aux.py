@@ -15,6 +15,9 @@ from egorear_tpu.data.synthetic import make_synthetic_dataset
 from egorear_tpu.train.tasks import HeatmapTask
 from egorear_tpu.train.trainer import Trainer, TrainerConfig
 
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
+pytestmark = pytest.mark.slow
+
 ENCODER_CFG = {
     "resnet_cfg": {"model_name": "resnet18", "out_stride": 4,
                    "use_imagenet_pretrain": False},

@@ -20,6 +20,10 @@ import numpy as np
 import flax.linen as nn
 
 from egorear_tpu.train.trainer import CSVLogger, Trainer, TrainerConfig
+import pytest
+
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
+pytestmark = pytest.mark.slow
 
 
 class _TinyBNNet(nn.Module):
