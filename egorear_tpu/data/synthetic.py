@@ -36,19 +36,24 @@ def _project_np(rig: CameraRig, pts_bj3: np.ndarray, mats=None) -> np.ndarray:
     return np.asarray(pts2d) * 872.0
 
 
-def _draw_pose_image(pts2d_j2: np.ndarray, size: int, rng) -> np.ndarray:
+def _draw_pose_image(pts2d_j2: np.ndarray, size: int, rng,
+                     visible=None) -> np.ndarray:
     """Render per-joint colored Gaussian blobs at the projected 2D joints.
 
     Makes the synthetic set genuinely learnable image->pose (the plain mode's
     noise images carry no pose signal, so only label-side plumbing can be
     validated): each joint gets a fixed color and a blob at its true fisheye
-    projection, over a dim noise background.
+    projection, over a dim noise background. ``visible`` (bool (J,), optional)
+    suppresses the blobs of occluded joints -- their GT labels/heatmaps stay,
+    exactly like a real occluded-but-in-FOV joint.
     """
     J = pts2d_j2.shape[0]
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     img = rng.integers(0, 40, size=(size, size, 3)).astype(np.float32)
     sigma = max(2.0, size / 40.0)
     for j in range(J):
+        if visible is not None and not visible[j]:
+            continue
         x, y = float(pts2d_j2[j, 0]), float(pts2d_j2[j, 1])
         if not (0 <= x < size and 0 <= y < size):
             continue
@@ -57,6 +62,89 @@ def _draw_pose_image(pts2d_j2: np.ndarray, size: int, rng) -> np.ndarray:
                           (j * 193 + 120) % 256], np.float32)
         img += g[..., None] * color
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# skeletal pose prior
+# ---------------------------------------------------------------------------
+
+# (parent index, rest offset direction in the device frame, bone length cm)
+# for JOINT_NAMES order: Head Neck L/RArm L/RForeArm L/RHand L/RUpLeg L/RLeg
+# L/RFoot L/RToeBase. Head is the root, anchored just below the headset.
+_SKELETON = {
+    1: (0, (0.0, 0.1, 1.0), 12.0),     # Neck        <- Head
+    2: (1, (-1.0, 0.0, 0.15), 18.0),   # LeftArm     <- Neck
+    3: (1, (1.0, 0.0, 0.15), 18.0),    # RightArm    <- Neck
+    4: (2, (-0.25, 0.15, 1.0), 28.0),  # LeftForeArm <- LeftArm
+    5: (3, (0.25, 0.15, 1.0), 28.0),   # RightForeArm<- RightArm
+    6: (4, (-0.1, -0.3, 1.0), 26.0),   # LeftHand    <- LeftForeArm
+    7: (5, (0.1, -0.3, 1.0), 26.0),    # RightHand   <- RightForeArm
+    8: (1, (-0.22, 0.05, 1.0), 52.0),  # LeftUpLeg   <- Neck (torso+hip)
+    9: (1, (0.22, 0.05, 1.0), 52.0),   # RightUpLeg  <- Neck
+    10: (8, (-0.05, 0.1, 1.0), 40.0),  # LeftLeg     <- LeftUpLeg
+    11: (9, (0.05, 0.1, 1.0), 40.0),   # RightLeg    <- RightUpLeg
+    12: (10, (0.0, 0.1, 1.0), 42.0),   # LeftFoot    <- LeftLeg
+    13: (11, (0.0, 0.1, 1.0), 42.0),   # RightFoot   <- RightLeg
+    14: (12, (0.0, -1.0, 0.3), 15.0),  # LeftToeBase <- LeftFoot
+    15: (13, (0.0, -1.0, 0.3), 15.0),  # RightToeBase<- RightFoot
+}
+
+
+def sample_skeleton_poses(rng, n_frames: int, angle_noise: float = 0.6,
+                          root_jitter: float = 20.0,
+                          yaw_range: float = 1.5) -> np.ndarray:
+    """(F, 16, 3) poses (cm, device frame) from a fixed-bone-length kinematic
+    tree: correlated joints, constant bone lengths, random per-bone direction
+    noise + global root jitter/yaw. This is the skeletal prior VERDICT r3
+    asked for -- unlike the i.i.d.-Gaussian envelope, partial observations
+    constrain the unobserved joints, and the predicts-the-mean MPJPE floor
+    is a property of real pose variation, not of independent noise.
+    """
+    J = len(JOINT_NAMES)
+    poses = np.zeros((n_frames, J, 3))
+    # +z is down (the rig looks down +z); the head hangs just below the
+    # device and the chain extends toward +z.
+    head = np.array([0.0, 18.0, 30.0])
+    poses[:, 0] = head + rng.normal(scale=root_jitter, size=(n_frames, 3))
+    yaw = rng.uniform(-yaw_range, yaw_range, size=n_frames)
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    for j in range(1, J):
+        parent, rest, length = _SKELETON[j]
+        d = np.asarray(rest) / np.linalg.norm(rest)
+        dirs = d + rng.normal(scale=angle_noise, size=(n_frames, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        # Whole-body yaw (about the device z/down axis) applied per bone so
+        # the pose turns coherently.
+        rx = cz * dirs[:, 0] - sz * dirs[:, 1]
+        ry = sz * dirs[:, 0] + cz * dirs[:, 1]
+        dirs = np.stack([rx, ry, dirs[:, 2]], axis=-1)
+        poses[:, j] = poses[:, parent] + dirs * length
+    return poses
+
+
+def sample_pair_visibility(rng, n_frames: int, occlusion: float):
+    """(F, V=4, J) bool: per-frame front/back PAIR visibility.
+
+    Each joint is hidden from the front stereo pair with prob ``occlusion``
+    and (independently) from the back pair with prob ``occlusion``, but never
+    from both -- so every joint is always observable SOMEWHERE, the per-pair
+    stage-1 estimators structurally cannot localize the joints hidden from
+    their own pair, and the multi-view refiner can. This is what makes
+    refined-beats-init a property the data demands rather than a lucky
+    outcome (VERDICT r3 next-round item 3).
+    """
+    J = len(JOINT_NAMES)
+    hide_front = rng.random(size=(n_frames, J)) < occlusion
+    hide_back = rng.random(size=(n_frames, J)) < occlusion
+    both = hide_front & hide_back
+    # Reveal one side (coin flip) where both pairs drew hidden.
+    coin = rng.random(size=(n_frames, J)) < 0.5
+    hide_front &= ~(both & coin)
+    hide_back &= ~(both & ~coin)
+    vis = np.ones((n_frames, 4, J), bool)
+    vis[:, 0] = vis[:, 1] = ~hide_front
+    vis[:, 2] = vis[:, 3] = ~hide_back
+    return vis
 
 
 def make_synthetic_dataset(
@@ -71,6 +159,8 @@ def make_synthetic_dataset(
     write_heatmaps: bool = False,
     draw_pose: bool = False,
     eval_frames_per_seq: int = None,
+    skeleton: bool = False,
+    occlusion: float = 0.0,
 ):
     """Build <root>/... with one split file per entry in ``splits``.
 
@@ -81,6 +171,14 @@ def make_synthetic_dataset(
     joints into the images (see :func:`_draw_pose_image`) so training can
     actually reduce pose error; ``eval_frames_per_seq`` shrinks the
     validation/test splits independently of the train split.
+
+    ``skeleton`` draws the 3D poses from a fixed-bone-length kinematic tree
+    (:func:`sample_skeleton_poses`) instead of the i.i.d. Gaussian envelope;
+    ``occlusion`` > 0 hides each joint's image blob from the front or back
+    stereo pair with that probability (never both;
+    :func:`sample_pair_visibility`) while keeping its GT labels -- the
+    combination makes multi-view refinement genuinely necessary. Per-frame
+    pair visibility is saved to ``<seq>/visibility.npy`` for analysis.
     """
     rng = np.random.default_rng(seed)
     rig = CameraRig.from_calib_file(f"ego4view_{variant}", chained=False)
@@ -109,9 +207,18 @@ def make_synthetic_dataset(
                 os.makedirs(os.path.join(seq_dir, json_dir), exist_ok=True)
 
                 # Body-like 3D poses (cm, device frame: x right, y back, z down).
-                base = np.array([0.0, 18.0, -60.0])
-                poses = base + rng.normal(scale=25.0, size=(n_frames, 16, 3))
-                poses[..., 2] -= 40.0  # keep joints below the cameras
+                if skeleton:
+                    poses = sample_skeleton_poses(rng, n_frames)
+                else:
+                    # +z is DOWN in the device frame: the fisheye rig looks
+                    # down +z, so the body envelope sits at positive z
+                    # (verified: >95% of projections land strictly in-FOV;
+                    # the pre-round-4 -z placement projected ~0% in-FOV and
+                    # silently produced near-signal-free draw_pose images).
+                    base = np.array([0.0, 18.0, 100.0])
+                    poses = base + rng.normal(scale=25.0, size=(n_frames, 16, 3))
+                visibility = (sample_pair_visibility(rng, n_frames, occlusion)
+                              if occlusion > 0 else None)
 
                 mats = None
                 if variant == "rw":
@@ -127,6 +234,9 @@ def make_synthetic_dataset(
                         json.dump(meta, f)
 
                 pts2d = _project_np(rig, poses, mats)  # (F, V, J, 2)
+                if visibility is not None:
+                    np.save(os.path.join(seq_dir, "visibility.npy"),
+                            visibility)
 
                 for fi in range(n_frames):
                     frame = f"frame_{fi:04d}"
@@ -146,6 +256,8 @@ def make_synthetic_dataset(
                             arr = _draw_pose_image(
                                 pts2d[fi, vi] * (image_size / 872.0),
                                 image_size, rng,
+                                visible=(None if visibility is None
+                                         else visibility[fi, vi]),
                             )
                         else:
                             arr = rng.integers(
