@@ -53,7 +53,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM,
-                  shard_stacked: bool = False) -> NamedSharding:
+                  shard_stacked: bool = True) -> NamedSharding:
     """Sharding for one weight of the given shape.
 
     2-D Dense kernels (in, out) shard their widest dim over 'model' when it
@@ -64,16 +64,27 @@ def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM,
     whole per view). Everything else is replicated, which is optimal at
     this model family's sizes.
 
-    ``shard_stacked`` defaults OFF: on the 8-device virtual CPU mesh
-    (jax 0.9.0) the full model's BACKWARD deviates ~14% in gradient norm
-    when stacked refiner kernels and downstream pose3d kernels are sharded
-    together (forward and eval stay bitwise-grade exact; each family
-    sharded alone is exact too; minimal reproductions of the structure are
-    clean -- an XLA SPMD partitioner issue we could not reduce further,
-    see tests/test_tensor_parallel.py). The payoff of stacked sharding is
-    also small next to the 32768-wide proposal MLP that the 2-D rule
-    covers. dryrun_multichip still exercises the stacked path (forward
-    loss validated exact vs replicated).
+    History of ``shard_stacked`` (rounds 2-4): sharding the stacked refiner
+    kernels used to hit a GENUINE XLA SPMD backward miscompilation (jax
+    0.9.0; gradients into the shared ResNet encoder off ~12x in norm AT
+    FLOAT64, i.e. a wrong collective, not fp noise). Two triggers were
+    isolated and removed:
+      1. the batch-major multi-view layout's vmap re-layout (fixed by the
+         round-4 view-major `(V, B, ...)` feature flow), and
+      2. the per-view Python slice loop in the heatmap loss -- V separate
+         reductions over ``pred[:, i]`` of the stacked refiner outputs
+         (bisected with tools/tp_trainer_f64_check.py; fixed by the fused
+         reduction in train/tasks._per_view_mse_sum).
+    With both gone, the full train-step graph matches the replicated run
+    to reduction-reassociation noise (fp32 worst-leaf ~3.5e-3 on the
+    sharded kernels themselves, float64-exact), so stacked sharding is ON
+    by default. tests/test_tensor_parallel.py pins both configurations;
+    if an XLA upgrade regresses this, the float64 run of
+    tools/tp_trainer_f64_check.py is the decisive classifier.
+    Keep new per-view math fused or vmapped -- avoid Python loops that
+    slice the view axis of stacked-module outputs on the training path
+    (the one remaining instance is the non-default ``use_mlp_heatmap``
+    proposal variant, models/pose3d.py:139).
     """
     model_size = dict(mesh.shape).get("model", 1)
     ndims = (2, 3) if shard_stacked else (2,)
@@ -89,7 +100,7 @@ def leaf_sharding(shape, mesh: Mesh, min_dim: int = TP_MIN_DIM,
 
 
 def param_shardings(params, mesh: Mesh, min_dim: int = TP_MIN_DIM,
-                    shard_stacked: bool = False):
+                    shard_stacked: bool = True):
     """Per-leaf NamedShardings: TP-shard wide kernels, replicate the rest.
 
     Applies to any pytree of arrays/ShapeDtypeStructs (params, optimizer

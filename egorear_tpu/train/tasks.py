@@ -76,9 +76,21 @@ def _maybe_imagenet_init(variables: dict, use_imagenet_pretrain: bool) -> dict:
 
 
 def _per_view_mse_sum(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """sum over views of mean-MSE per view (reference heatmap.py:103-105)."""
-    V = pred.shape[1]
-    return sum(((pred[:, i] - gt[:, i]) ** 2).mean() for i in range(V))
+    """sum over views of mean-MSE per view (reference heatmap.py:103-105).
+
+    Computed as ONE fused reduction (mean over every axis but the view
+    axis, then sum) -- algebraically identical to the reference's per-view
+    Python loop, but deliberately NOT written as ``sum(mse(pred[:, i]) for
+    i ...)``: V separate slice-reductions over the view axis of the stacked
+    refiner outputs trigger a genuine XLA SPMD partitioner miscompilation
+    when the 3-D stacked per-view kernels are model-sharded (backward grads
+    into the shared ResNet encoder off ~12x IN FLOAT64, i.e. a wrong
+    collective, not fp noise -- see tools/tp_trainer_f64_check.py, which
+    bisected the trainer train-step graph to exactly this loss form, and
+    tests/test_tensor_parallel.py which pins the fixed behavior).
+    """
+    d2 = (pred - gt) ** 2
+    return d2.mean(axis=(0,) + tuple(range(2, d2.ndim))).sum()
 
 
 def heatmap_eval_metrics(pred_hm, gt_hm, prefix: str) -> Dict[str, jnp.ndarray]:

@@ -53,10 +53,13 @@ class TrainerConfig:
     # reference's only strategy (SURVEY.md section 2.7).
     model_parallel: int = 1
     tp_min_dim: int = 2048
-    # Opt-in sharding of the 3-D stacked (per-view) refiner kernels. OFF by
-    # default: see parallel/mesh.leaf_sharding for the observed XLA SPMD
-    # backward discrepancy when combined with sharded downstream kernels.
-    tp_shard_stacked: bool = False
+    # Sharding of the 3-D stacked (per-view) refiner kernels. ON by default
+    # since round 4: both triggers of the XLA SPMD backward miscompilation
+    # that forced this off (batch-major vmap re-layout; per-view slice-loss
+    # reductions) are fixed, and a float64 run proves the residual fp32
+    # deviation is reassociation noise (see parallel/mesh.leaf_sharding,
+    # tools/tp_trainer_f64_check.py).
+    tp_shard_stacked: bool = True
     # Auxiliary subsystems (SURVEY.md section 5):
     profile_steps: int = 0  # capture a jax.profiler trace for N train steps
     debug_nans: bool = False  # per-step non-finite loss detection
@@ -158,18 +161,16 @@ class Trainer:
                 f"model_parallel={mp} does not divide {len(devices)} devices"
             )
         if trainer_cfg.tp_shard_stacked and mp > 1:
-            # Known-wrong configuration unless the XLA SPMD issue is ruled
-            # out for this model: see parallel/mesh.leaf_sharding and
-            # tests/test_tensor_parallel.py (stacked + downstream kernels
-            # both model-sharded -> ~14% backward grad-norm deviation).
-            logger.warning(
-                "tp_shard_stacked=True with model_parallel=%d: this enables "
-                "sharding of 3-D stacked refiner kernels, which has a KNOWN "
-                "XLA SPMD backward discrepancy when combined with sharded "
-                "downstream kernels (~14%% grad-norm deviation; see "
-                "egorear_tpu/parallel/mesh.py leaf_sharding docstring and "
-                "tests/test_tensor_parallel.py). Verify gradients against a "
-                "replicated run before trusting training results.", mp,
+            # Validated configuration since round 4 (view-major layout):
+            # gradients match replicated to fp-reassociation noise, float64
+            # exact -- see parallel/mesh.leaf_sharding and
+            # tools/tp_stacked_probe.py --train --f64.
+            logger.info(
+                "tp_shard_stacked with model_parallel=%d: 3-D stacked "
+                "refiner kernels shard over the 'model' axis "
+                "(correctness record: egorear_tpu/parallel/mesh.py "
+                "leaf_sharding docstring, tests/test_tensor_parallel.py).",
+                mp,
             )
         data_n = len(devices) // mp
         n = math.gcd(data_n, batch_size) if batch_size else data_n

@@ -68,19 +68,25 @@ def test_leaf_sharding_rule_covers_stacked_refiner_kernels():
                          shard_stacked=True).spec == P(None, "model", None)
     assert leaf_sharding((4, 256, 512), mesh, 256,
                          shard_stacked=True).spec == P(None, None, "model")
-    # Stacked kernels replicate by default (backward discrepancy note in
-    # leaf_sharding's docstring).
-    assert leaf_sharding((4, 4096, 256), mesh, 256).spec == P()
+    # Stacked sharding is the default since round 4 (the old backward
+    # discrepancy resolved with the view-major layout; leaf_sharding
+    # docstring) and can be opted out of.
+    assert leaf_sharding((4, 4096, 256), mesh, 256).spec == \
+        P(None, "model", None)
+    assert leaf_sharding((4, 4096, 256), mesh, 256,
+                         shard_stacked=False).spec == P()
     # Below min_dim / indivisible / 1-D: replicated.
     assert leaf_sharding((4, 100, 30), mesh, 256,
                          shard_stacked=True).spec == P()
     assert leaf_sharding((513,), mesh, 256).spec == P()
 
 
-def _fit_steps(mp: int, tmp_path, batches):
+def _fit_steps(mp: int, tmp_path, batches, shard_stacked: bool = False):
     cfg = TrainerConfig(
-        max_epochs=1, seed=0, save_dir=str(tmp_path / f"mp{mp}"),
+        max_epochs=1, seed=0,
+        save_dir=str(tmp_path / f"mp{mp}{'s' if shard_stacked else ''}"),
         gradient_clip_val=5.0, model_parallel=mp, tp_min_dim=256,
+        tp_shard_stacked=shard_stacked,
     )
     task = Pose3DTask(model_cfg=MODEL_CFG)
     # lr=0 pins the params: every step then measures forward/backward
@@ -108,14 +114,31 @@ def _fit_steps(mp: int, tmp_path, batches):
         trainer.state, metrics = trainer._train_step(trainer.state, b)
         losses.append(float(jax.device_get(metrics["loss_total"])))
     ev = trainer._eval_step(trainer.state, batches[0], False)
-    moments = jax.device_get(
-        [l for l in jax.tree.leaves(trainer.state["opt_state"])
-         if hasattr(l, "shape") and getattr(l, "ndim", 0) > 0]
-    )
+    flat = jax.tree_util.tree_flatten_with_path(trainer.state["opt_state"])[0]
+    moments = [(jax.tree_util.keystr(kp), jax.device_get(l))
+               for kp, l in flat
+               if hasattr(l, "shape") and getattr(l, "ndim", 0) > 0]
     return losses, jax.device_get(ev), moments
 
 
-def test_trainer_model_parallel_matches_data_parallel(tmp_path):
+@pytest.mark.parametrize("shard_stacked", [False, True])
+def test_trainer_model_parallel_matches_data_parallel(tmp_path, shard_stacked):
+    """TP == DP through real train steps (loss, eval metrics, Adam moments).
+
+    ``shard_stacked=True`` (the shipped default) additionally shards the
+    3-D stacked per-view refiner kernels. This configuration used to hit a
+    genuine XLA SPMD backward miscompilation (wrong collective: deviations
+    persisted at float64) with two isolated triggers -- the batch-major
+    vmap re-layout (fixed by the view-major layout) and the per-view
+    slice-loop heatmap loss (fixed by the fused reduction in
+    tasks._per_view_mse_sum; bisection record in
+    tools/tp_trainer_f64_check.py). Post-fix, the remaining fp32 deviation
+    is ~3.5e-3 worst-leaf on the sharded kernels themselves and collapses
+    to ~1e-15 under float64 -- reduction-reassociation noise -- so the
+    stacked parametrization asserts a correspondingly looser, but still
+    noise-scale, moment tolerance that would fail loudly (deviations were
+    75%+) if either trigger regressed.
+    """
     rng = np.random.RandomState(0)
     batches = [
         {
@@ -126,7 +149,8 @@ def test_trainer_model_parallel_matches_data_parallel(tmp_path):
         for _ in range(2)
     ]
     losses_dp, eval_dp, mom_dp = _fit_steps(1, tmp_path, batches)
-    losses_tp, eval_tp, mom_tp = _fit_steps(2, tmp_path, batches)
+    losses_tp, eval_tp, mom_tp = _fit_steps(2, tmp_path, batches,
+                                            shard_stacked=shard_stacked)
     # Forward + loss: bitwise-grade agreement at pinned params.
     np.testing.assert_allclose(losses_tp, losses_dp, rtol=1e-5, atol=1e-6)
     for k in eval_dp:
@@ -136,11 +160,21 @@ def test_trainer_model_parallel_matches_data_parallel(tmp_path):
     # gradients at lr=0) agree norm-wise -- the psums XLA inserted for the
     # sharded contractions only reorder fp reductions.
     assert len(mom_dp) == len(mom_tp)
-    for a, b in zip(mom_dp, mom_tp):
+    # Stacked sharding adds collectives whose fp32 reassociation noise
+    # reaches ~3.5e-3 worst-leaf (float64-exact; measured by
+    # tools/tp_trainer_f64_check.py on this exact flow). 1e-2 gives ~3x
+    # headroom over the noise while sitting ~2 orders below the
+    # miscompilation signature this test exists to catch.
+    rtol = 1e-2 if shard_stacked else 1e-3
+    bad = []
+    for (ka, a), (_, b) in zip(mom_dp, mom_tp):
         num = np.linalg.norm(np.asarray(a) - np.asarray(b))
         den = np.linalg.norm(np.asarray(a))
         # Absolute floor: leaves whose true gradient is identically zero
         # (e.g. spatial-attention k_proj bias -- softmax is shift-invariant
         # in the keys) hold pure fp noise; a relative check there is
         # meaningless.
-        assert num < max(1e-3 * den, 1e-4), (a.shape, num, den)
+        if not num < max(rtol * den, 1e-4):
+            bad.append(f"{ka} shape={np.shape(a)} |d|={num:.3e} "
+                       f"|a|={den:.3e} rel={num / max(den, 1e-12):.3f}")
+    assert not bad, "\n".join(bad)

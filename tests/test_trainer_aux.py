@@ -120,9 +120,12 @@ def test_restore_missing_pkl_raises_file_not_found(tmp_path):
         ckpt_lib.restore(str(tmp_path / "nope.pkl"))
 
 
-def test_tp_shard_stacked_warns(tmp_path, caplog):
-    """Flipping --trainer.tp_shard_stacked with model_parallel > 1 must warn
-    loudly about the known XLA SPMD backward discrepancy (ADVICE r3)."""
+def test_tp_shard_stacked_notes(tmp_path, caplog):
+    """tp_shard_stacked with model_parallel > 1 logs a pointer to its
+    correctness record (ADVICE r3 asked for a loud warning while the XLA
+    SPMD backward discrepancy was live; resolved in round 4 -- view-major
+    layout + float64 diagnostic, see parallel/mesh.leaf_sharding -- so the
+    config is now validated-by-default and the log is informational)."""
     import jax
     import logging
 
@@ -134,7 +137,7 @@ def test_tp_shard_stacked_warns(tmp_path, caplog):
     # handler to it directly.
     logging.getLogger("egorear").addHandler(caplog.handler)
     try:
-        with caplog.at_level(logging.WARNING, logger="egorear"):
+        with caplog.at_level(logging.INFO, logger="egorear"):
             Trainer(_task(), cfg, lr=1e-3, weight_decay=0.0,
                     lr_decay_epochs=(), warmup_iters=1, batch_size=8,
                     workers=0)
