@@ -25,6 +25,12 @@ from egorear_tpu.data.synthetic import make_synthetic_dataset
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI. (Round-4
+# regression note: this marker was once inserted INSIDE the WORKER string
+# below, which both un-marked the module and crashed the worker script --
+# keep it up here, before the string literal.)
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import json, os, sys
 pid = int(sys.argv[1])
@@ -39,9 +45,6 @@ assert jax.process_count() == 2 and jax.device_count() == 2
 from egorear_tpu.data.datasets import get_dataset
 from egorear_tpu.train.tasks import HeatmapTask
 from egorear_tpu.train.trainer import Trainer, TrainerConfig
-
-# Multi-minute e2e tier: deselect with -m 'not slow' for fast CI.
-pytestmark = pytest.mark.slow
 
 ENCODER_CFG = {
     "resnet_cfg": {"model_name": "resnet18", "out_stride": 4,
