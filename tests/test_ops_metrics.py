@@ -84,3 +84,20 @@ def test_pck_and_auc():
     # (11 of 31), joint 1 never.
     want = (31 + 31 + 11 + 0) / (4 * 31)
     np.testing.assert_allclose(auc, want, atol=1e-6)
+
+
+def test_per_view_mse_sum_matches_slice_loop_reference():
+    """The fused per-view heatmap loss must equal the reference's per-view
+    Python loop (heatmap.py:103-105). The fused form is load-bearing beyond
+    style: the slice-loop form (V separate reductions over pred[:, i] of
+    the stacked refiner outputs) triggers a genuine XLA SPMD backward
+    miscompilation under stacked tensor sharding -- see
+    train/tasks._per_view_mse_sum and tools/tp_trainer_f64_check.py."""
+    from egorear_tpu.train.tasks import _per_view_mse_sum
+
+    rng = np.random.RandomState(3)
+    pred = rng.randn(2, 4, 15, 8, 8).astype(np.float32)
+    gt = rng.randn(2, 4, 15, 8, 8).astype(np.float32)
+    ref = sum(((pred[:, i] - gt[:, i]) ** 2).mean() for i in range(4))
+    np.testing.assert_allclose(
+        float(_per_view_mse_sum(pred, gt)), ref, rtol=1e-6)
