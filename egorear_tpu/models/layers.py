@@ -425,3 +425,68 @@ class Conv3x3S2Patches(nn.Module):
         )  # (B, oh, ow, 9*Cin)
         w = kernel.reshape(9 * Cin, self.features)
         return jnp.einsum("bhwk,kd->bhwd", patches, w) + bias
+
+
+class Conv3x3S2SpaceToDepth(nn.Module):
+    """3x3 stride-2 pad-1 convolution as space-to-depth + 5 shifted matmuls.
+
+    Built to kill the round-4 b64 trace's #1 op: under the per-view
+    ``nn.vmap`` a regular conv batches over the weight axis and JAX lowers
+    it as a grouped convolution whose feature-group merge TRANSPOSES the
+    whole (V, B, H, W, C) activation into (B, H, W, V*C) -- 4.2 ms/step at
+    b64. Here the stride-2 structure is realized ONCE as a space-to-depth
+    relayout (B, H, W, C) -> (B, H/2, W/2, 4C) whose channel blocks are the
+    2x2 pixel phases; every kernel tap then lands on a UNIT-shifted slice of
+    that tensor, so the conv becomes 5 dense einsums (contraction sizes
+    C + 2C + C + C + 4C = 9C, the exact conv FLOPs) that vmap cleanly into
+    batched matmuls with the view axis leading -- no grouped conv, no
+    stride-2 slices, no layout transpose. Param names/shapes match nn.Conv;
+    checkpoints are interchangeable.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, Cin) NHWC
+        B, H, W, Cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, Cin, self.features),
+        ).astype(x.dtype)
+        bias = self.param(
+            "bias", zeros_init, (self.features,)
+        ).astype(x.dtype)
+
+        oh, ow = H // 2, W // 2
+        # S[b, i, j, (dy, dx, c)] = x[b, 2i+dy, 2j+dx, c]; channel blocks
+        # ordered (0,0), (0,1), (1,0), (1,1).
+        s = x.reshape(B, oh, 2, ow, 2, Cin).transpose(0, 1, 3, 2, 4, 5)
+        s = s.reshape(B, oh, ow, 4 * Cin)
+        # Pad one CELL (= 2 input px) of zeros on top/left: kernel taps
+        # ky/kx = 0 read input row/col 2i-1 = cell (i-1, phase 1).
+        sp = jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+        blk = lambda t, i: t[..., i * Cin : (i + 1) * Cin]
+        mm = lambda t, w: jnp.einsum("bhwc,cd->bhwd", t, w)
+
+        # cell (i-1, j-1): tap (ky=0, kx=0) on phase (1, 1)
+        ul = sp[:, :oh, :ow]
+        out = mm(blk(ul, 3), kernel[0, 0])
+        # cell (i-1, j): taps ky=0, kx in {1,2} on phases (1,0), (1,1) --
+        # blocks 2:4 are channel-contiguous, one 2C-contraction einsum.
+        up = sp[:, :oh, 1:]
+        w_up = jnp.concatenate([kernel[0, 1], kernel[0, 2]], axis=0)
+        out = out + mm(up[..., 2 * Cin :], w_up)
+        # cell (i, j-1): taps kx=0, ky in {1,2} on phases (0,1), (1,1)
+        lf = sp[:, 1:, :ow]
+        out = out + mm(blk(lf, 1), kernel[1, 0]) + mm(blk(lf, 3), kernel[2, 0])
+        # cell (i, j): taps ky, kx in {1,2} on all four phases -- one full
+        # 4C-contraction einsum with blocks ordered (0,0), (0,1), (1,0), (1,1)
+        # = taps (1,1), (1,2), (2,1), (2,2).
+        ct = sp[:, 1:, 1:]
+        w_ct = jnp.concatenate(
+            [kernel[1, 1], kernel[1, 2], kernel[2, 1], kernel[2, 2]], axis=0
+        )
+        out = out + mm(ct, w_ct)
+        return out + bias

@@ -87,6 +87,10 @@ def _conv3x3s2(features: int, name: str):
         from egorear_tpu.models.layers import Conv3x3S2Patches
 
         return Conv3x3S2Patches(features, name=name)
+    if impl == "s2d":
+        from egorear_tpu.models.layers import Conv3x3S2SpaceToDepth
+
+        return Conv3x3S2SpaceToDepth(features, name=name)
     return nn.Conv(
         features, (3, 3), strides=2, padding=((1, 1), (1, 1)), name=name
     )
@@ -681,8 +685,8 @@ class HeatmapMVFexNet(nn.Module):
         # ---- stacked refiners over all views at once ----
         hm_layers, feat_layers = self.refiners(
             hm_for_refine,  # (B, V, J, h, w), vmapped over axis 1
-            feat,  # (B, V, h, w, C), axis 1
-            feat,  # broadcast: full multi-view tensor
+            feat,  # VIEW-MAJOR (V, B, h, w, C), vmapped over axis 0
+            feat,  # broadcast: full multi-view tensor, view-major
             anchors_2d,
             anchors_valid,
             bfb_pooled,  # (B, V, 512), axis 1

@@ -194,15 +194,21 @@ def test_patch_embed():
 def test_conv3x3s2_matmul_parity():
     import jax
     import flax.linen as nn
-    from egorear_tpu.models.layers import Conv3x3S2Matmul, Conv3x3S2Patches
+    from egorear_tpu.models.layers import (
+        Conv3x3S2Matmul,
+        Conv3x3S2Patches,
+        Conv3x3S2SpaceToDepth,
+    )
 
     rng = np.random.default_rng(8)
     x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
     m1 = Conv3x3S2Matmul(12)
     m2 = nn.Conv(12, (3, 3), strides=2, padding=((1, 1), (1, 1)))
     m3 = Conv3x3S2Patches(12)
+    m4 = Conv3x3S2SpaceToDepth(12)
     vs = m1.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(m2.apply(vs, x))
     np.testing.assert_allclose(np.asarray(m1.apply(vs, x)), ref, atol=1e-5)
-    # Same params drop into the patches form too (identical pytree).
+    # Same params drop into the other forms too (identical pytree).
     np.testing.assert_allclose(np.asarray(m3.apply(vs, x)), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m4.apply(vs, x)), ref, atol=1e-5)
