@@ -84,6 +84,65 @@ print("RESULT" + json.dumps({
 """
 
 
+CRASH_WORKER = r"""
+import json, os, sys
+pid = int(sys.argv[1])
+root = sys.argv[2]
+coord = sys.argv[3]
+save_dir = sys.argv[4]
+phase = sys.argv[5]  # crash | resume | full
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coord, num_processes=2, process_id=pid)
+
+from egorear_tpu.data.datasets import get_dataset
+from egorear_tpu.train import trainer as trainer_mod
+from egorear_tpu.train.tasks import HeatmapTask
+from egorear_tpu.train.trainer import Trainer, TrainerConfig
+
+ENCODER_CFG = {
+    "resnet_cfg": {"model_name": "resnet18", "out_stride": 4,
+                   "use_imagenet_pretrain": False},
+    "neck_cfg": {"in_channels": [64, 128, 256, 512], "out_channels": 128},
+}
+
+calls = [0]
+orig_array_batch = trainer_mod._array_batch
+def counting_array_batch(batch):
+    calls[0] += 1
+    # Hard kill BOTH ranks at the first step of epoch 2 (call #4 = init
+    # probe + epoch-0 step + epoch-1 step + this one): no cleanup, no
+    # checkpoint flush -- a real mid-training process death. Epochs 0 and 1
+    # are already checkpointed (ckpt_every_n_epochs=1).
+    if phase == "crash" and calls[0] == 4:
+        os._exit(3)
+    return orig_array_batch(batch)
+trainer_mod._array_batch = counting_array_batch
+
+task = HeatmapTask(model_cfg={"num_heatmap": 15, "encoder_cfg": ENCODER_CFG},
+                   w_heatmap=10.0)
+cfg = TrainerConfig(max_epochs=4, log_every_n_steps=1, gradient_clip_val=5.0,
+                    seed=0, save_dir=save_dir, ckpt_every_n_epochs=1,
+                    auto_resume=(phase == "resume"))
+trainer = Trainer(task, cfg, lr=1e-3, weight_decay=5e-3, lr_decay_epochs=(),
+                  warmup_iters=1, batch_size=8, workers=0)
+train_ds = get_dataset("ego4view_syn_heatmap_mvf", root, "train",
+                       camera_pos="all")
+calls_before = calls[0]
+trainer.fit(train_ds)
+n_train_calls = calls[0] - calls_before - 1  # minus the init probe
+
+test_ds = get_dataset("ego4view_syn_heatmap_mvf", root, "test",
+                      camera_pos="all")
+metrics = trainer.evaluate(test_ds, mode="test")
+print("RESULT" + json.dumps({
+    "pid": pid, "n_train_steps": n_train_calls, "metrics": metrics,
+}), flush=True)
+"""
+
+
 @pytest.fixture(scope="module")
 def syn_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("ego4view_syn_mh")
@@ -166,4 +225,71 @@ def test_two_process_fit_and_eval_match_single_process(syn_root, tmp_path):
         rtol = 2e-2 if "pts2d" in k else 2e-3
         assert np.isclose(v, r0["metrics"][k], rtol=rtol, atol=1e-5), (
             k, v, r0["metrics"][k]
+        )
+
+
+def _launch_pair(script, syn_root, coord, save_dir, phase, expect_rc):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), syn_root, coord,
+             str(save_dir), phase],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1500) for p in procs]
+    results = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == expect_rc, (
+            f"phase={phase}: rc={p.returncode} (want {expect_rc})\n"
+            f"{out}\n{err[-4000:]}"
+        )
+        if expect_rc == 0:
+            results.append(json.loads(
+                out[out.index("RESULT") + len("RESULT"):].splitlines()[0]))
+    return results
+
+
+def test_multiprocess_kill_and_auto_resume(syn_root, tmp_path):
+    """Elastic failure recovery under the multi-process regime it exists for
+    (SURVEY 5 failure-recovery row; VERDICT r4 item 7).
+
+    Both ranks of a 2-process jax.distributed fit are HARD-KILLED
+    (os._exit, no cleanup) at the first step of epoch 2, after epochs 0-1
+    checkpointed. A fresh pair of processes with auto_resume=True must pick
+    up the newest checkpoint, replay only epochs 2-3, and land on exactly
+    the state an uninterrupted 4-epoch run reaches -- same seeded loader,
+    same optimizer state, so the eval metrics must match tightly.
+    """
+    script = tmp_path / "crash_worker.py"
+    script.write_text(CRASH_WORKER)
+
+    killed_dir = tmp_path / "logs_killed"
+    # Phase 1: both ranks die mid-epoch-2 with rc=3.
+    _launch_pair(script, syn_root, "localhost:29531", killed_dir, "crash", 3)
+    ckpts = sorted(killed_dir.rglob("epoch=*"))
+    assert ckpts, "crash phase left no checkpoint behind"
+
+    # Phase 2: restart with auto_resume -- must execute only epochs 2-3.
+    resumed = _launch_pair(
+        script, syn_root, "localhost:29532", killed_dir, "resume", 0)
+    assert all(r["n_train_steps"] == 2 for r in resumed), resumed
+
+    # Uninterrupted 4-epoch control run in a fresh save_dir.
+    control = _launch_pair(
+        script, syn_root, "localhost:29533", tmp_path / "logs_full", "full", 0)
+    assert all(r["n_train_steps"] == 4 for r in control), control
+
+    # Ranks agree within each run, and resumed == uninterrupted.
+    for pair in (resumed, control):
+        for k, v in pair[0]["metrics"].items():
+            assert np.isclose(v, pair[1]["metrics"][k], rtol=1e-6), (k, pair)
+    for k, v in control[0]["metrics"].items():
+        assert np.isclose(resumed[0]["metrics"][k], v, rtol=1e-5, atol=1e-7), (
+            k, resumed[0]["metrics"][k], v
         )

@@ -46,7 +46,7 @@ def run_cli(args, env, log_path):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "run.py")] + args,
             stdout=f, stderr=subprocess.STDOUT, env=env, cwd=REPO,
-            timeout=7200,
+            timeout=21600,
         )
     dt = time.time() - t0
     if proc.returncode != 0:
@@ -55,15 +55,20 @@ def run_cli(args, env, log_path):
     return dt
 
 
-def latest_ckpt(save_dir):
+def newest_epoch(save_dir):
     hits = []
     for base, _dirs, files in os.walk(save_dir):
         for d in _dirs + files:
             m = re.match(r"epoch=(\d+)", d)
             if m:
                 hits.append((int(m.group(1)), os.path.join(base, d)))
-    assert hits, f"no checkpoint under {save_dir}"
-    return max(hits)[1]
+    return max(hits) if hits else None
+
+
+def latest_ckpt(save_dir):
+    hit = newest_epoch(save_dir)
+    assert hit, f"no checkpoint under {save_dir}"
+    return hit[1]
 
 
 def read_metrics(save_dir):
@@ -121,6 +126,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None,
                     help="override the configs' batch sizes (smoke runs on "
                          "sets smaller than the stock batch of 64/32)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip any fit stage whose save dir already holds a "
+                         "checkpoint at the final epoch (crash recovery for "
+                         "the multi-hour drive; partial stages rerun from "
+                         "their grafts)")
     ap.add_argument("--report-only", action="store_true",
                     help="rebuild ACCURACY.md from the logs already under "
                          "--out (stage test jsons are read from the "
@@ -181,6 +191,12 @@ def main():
     def stage(tag, cfg, extra, subcmd="fit", ckpt=None, imnet_off=None,
               epochs=None):
         save = os.path.join(args.out, tag)
+        if subcmd == "fit" and args.resume:
+            hit = newest_epoch(save) if os.path.isdir(save) else None
+            if hit is not None and hit[0] >= (epochs or args.epochs) - 1:
+                print(f"[{tag}] resume: epoch={hit[0]} checkpoint present, "
+                      "skipping fit", flush=True)
+                return save, os.path.join(args.out, f"{tag}.fit.log")
         argv = [subcmd, "--config", os.path.join(REPO, "configs", cfg)]
         argv += common + (imnet_off or no_imnet) + extra
         argv += ["--trainer.max_epochs", str(epochs or args.epochs)]
