@@ -518,27 +518,29 @@ class HeatmapMVFexNet(nn.Module):
             ((B, V, 512) instead of (B, V, 8, 8, 512))."""
         cfg = self.cfg
         if cfg.num_views >= 3:
+            # view_major: the (V, B) permutation rides the NCHW->NHWC input
+            # transpose the backbone pays anyway (fold_views), so the
+            # feature stacks arrive pre-permuted and only the SMALL pooled /
+            # heatmap tensors ever transpose (round-5 b64 trace: ~1.7 ms of
+            # feature-stack copies removed).
             hm_f, feat_f, pyr_f = self.heatmap_estimator_stereo_front(
-                img[:, 0:2], train, return_feat=True
+                img[:, 0:2], train, return_feat=True, view_major=True
             )
             hm_b, feat_b, pyr_b = self.heatmap_estimator_stereo_back(
-                img[:, 2:], train, return_feat=True
+                img[:, 2:], train, return_feat=True, view_major=True
             )
             hm = jnp.concatenate([hm_f, hm_b], axis=1)
-            feat = jnp.concatenate(
-                [feat_f.transpose(1, 0, 2, 3, 4),
-                 feat_b.transpose(1, 0, 2, 3, 4)], axis=0
-            )  # (V, B, h, w, C)
+            feat = jnp.concatenate([feat_f, feat_b], axis=0)  # (V, B, h, w, C)
             bfb_pooled = jnp.concatenate(
-                [pyr_f[-1].mean(axis=(2, 3)), pyr_b[-1].mean(axis=(2, 3))],
+                [pyr_f[-1].mean(axis=(2, 3)).transpose(1, 0, 2),
+                 pyr_b[-1].mean(axis=(2, 3)).transpose(1, 0, 2)],
                 axis=1,
             )  # (B, V, 512)
         else:
             hm, feat, pyramid = self.heatmap_estimator_stereo_front(
-                img, train, return_feat=True
-            )
-            feat = feat.transpose(1, 0, 2, 3, 4)  # (V, B, h, w, C)
-            bfb_pooled = pyramid[-1].mean(axis=(2, 3))
+                img, train, return_feat=True, view_major=True
+            )  # feat (V, B, h, w, C)
+            bfb_pooled = pyramid[-1].mean(axis=(2, 3)).transpose(1, 0, 2)
         return hm, feat, bfb_pooled
 
     def _estimator_features(self, img, train):
@@ -555,32 +557,29 @@ class HeatmapMVFexNet(nn.Module):
         cfg = self.cfg
         if cfg.num_views >= 3:
             feat_f, pyr_f = self.heatmap_estimator_stereo_front.backbone_features(
-                img[:, 0:2], train
+                img[:, 0:2], train, view_major=True
             )
             feat_b, pyr_b = self.heatmap_estimator_stereo_back.backbone_features(
-                img[:, 2:], train
+                img[:, 2:], train, view_major=True
             )
-            feat = jnp.concatenate(
-                [feat_f.transpose(1, 0, 2, 3, 4),
-                 feat_b.transpose(1, 0, 2, 3, 4)], axis=0
-            )  # (V, B, h, w, C)
+            feat = jnp.concatenate([feat_f, feat_b], axis=0)  # (V, B, h, w, C)
             bfb_pooled = jnp.concatenate(
-                [pyr_f[-1].mean(axis=(2, 3)), pyr_b[-1].mean(axis=(2, 3))],
+                [pyr_f[-1].mean(axis=(2, 3)).transpose(1, 0, 2),
+                 pyr_b[-1].mean(axis=(2, 3)).transpose(1, 0, 2)],
                 axis=1,
             )  # (B, V, 512) -- pooled per half, see _estimator_outputs
             return feat, bfb_pooled, (feat_f, feat_b)
         feat, pyramid = self.heatmap_estimator_stereo_front.backbone_features(
-            img, train
+            img, train, view_major=True
         )
-        return (feat.transpose(1, 0, 2, 3, 4),
-                pyramid[-1].mean(axis=(2, 3)), None)
+        return (feat, pyramid[-1].mean(axis=(2, 3)).transpose(1, 0, 2), None)
 
     def _heatmaps_from_feat(self, feat, fb_pair=None):
         """Conv-stack heads at the MVFEX level (used when not use_1by1_conv).
 
         ``feat`` is the view-major (V, B, h, w, C) stack; ``fb_pair``
         short-circuits the front/back re-slice with the pre-concat
-        batch-major halves when the caller still holds them (see
+        VIEW-MAJOR halves when the caller still holds them (see
         ``_estimator_features``). Returns batch-major (B, V, J, h, w).
         """
         cfg = self.cfg
@@ -589,30 +588,21 @@ class HeatmapMVFexNet(nn.Module):
         spatial = feat.shape[2:]
         if cfg.num_views >= 3:
             if fb_pair is not None:
-                feat_f, feat_b = fb_pair  # (B, 2, h, w, C) each
-                f = feat_f.reshape(B * 2, *spatial)
-                b = feat_b.reshape(B * (V - 2), *spatial)
-                hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
-                hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
-                hm = jnp.concatenate(
-                    [
-                        hm_f.reshape(B, 2, J, *hm_f.shape[2:]),
-                        hm_b.reshape(B, V - 2, J, *hm_b.shape[2:]),
-                    ],
-                    axis=1,
-                )
+                feat_f, feat_b = fb_pair  # (2, B, h, w, C) each, view-major
+                f = feat_f.reshape(2 * B, *spatial)
+                b = feat_b.reshape((V - 2) * B, *spatial)
             else:
                 f = feat[0:2].reshape(2 * B, *spatial)  # view-major fold
                 b = feat[2:].reshape((V - 2) * B, *spatial)
-                hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
-                hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
-                hm = jnp.concatenate(
-                    [
-                        hm_f.reshape(2, B, J, *hm_f.shape[2:]),
-                        hm_b.reshape(V - 2, B, J, *hm_b.shape[2:]),
-                    ],
-                    axis=0,
-                ).transpose(1, 0, 2, 3, 4)
+            hm_f = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)
+            hm_b = self.conv_heatmap_head_back(b).transpose(0, 3, 1, 2)
+            hm = jnp.concatenate(
+                [
+                    hm_f.reshape(2, B, J, *hm_f.shape[2:]),
+                    hm_b.reshape(V - 2, B, J, *hm_b.shape[2:]),
+                ],
+                axis=0,
+            ).transpose(1, 0, 2, 3, 4)
         else:
             f = feat.reshape(V * B, *spatial)  # view-major fold
             hm = self.conv_heatmap_head_front(f).transpose(0, 3, 1, 2)

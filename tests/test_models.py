@@ -85,6 +85,36 @@ def test_heatmap_net_shapes():
     ]
 
 
+def test_heatmap_net_view_major_parity():
+    """view_major=True must be a pure layout change: same per-sample
+    heatmaps/features/pyramid as the batch-major path (the (V, B)
+    permutation rides fold_views' input transpose -- r5 b64-trace fix)."""
+    net = HeatmapNet(num_heatmap=15)
+    img = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 2, 3, IMG, IMG)),
+        jnp.float32,
+    )
+    vs = net.init(jax.random.PRNGKey(0), img)
+    hm, feat, pyr = net.apply(vs, img, return_feat=True)
+    hm_v, feat_v, pyr_v = net.apply(
+        vs, img, return_feat=True, view_major=True
+    )
+    np.testing.assert_allclose(hm_v, hm, rtol=0, atol=0)  # both batch-major
+    np.testing.assert_allclose(
+        feat_v, feat.transpose(1, 0, 2, 3, 4), rtol=0, atol=0
+    )
+    for pv, p in zip(pyr_v, pyr):
+        np.testing.assert_allclose(pv, p.transpose(1, 0, 2, 3, 4))
+
+    # NHWC input too (the uint8 device-preprocess path feeds channel-last).
+    img_nhwc = jnp.transpose(img, (0, 1, 3, 4, 2))
+    hm_n, feat_n, _ = net.apply(
+        vs, img_nhwc, return_feat=True, view_major=True
+    )
+    np.testing.assert_allclose(hm_n, hm, rtol=0, atol=0)
+    np.testing.assert_allclose(feat_n, feat_v, rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("num_views", [2, 3, 4])
 def test_mvfex_shapes_all_view_layouts(num_views):
     cfg = _mvfex_cfg(num_views)
