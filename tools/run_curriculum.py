@@ -371,13 +371,24 @@ def write_report(args, timings, s1f, s1b, s2, s3, s2_test, s3_test):
 
     L.append("## Stage 2 (MVFex refinement, stage-1 grafts loaded)\n")
     L.append(f"- train/loss_total: {fmt_series(series(r2, 'train/loss_total'))}")
-    for k in ("val/proposal_stereo_front_mse_heatmap",
+    for k in ("val/proposal_stereo_front_mse_pts2d",
+              "val/final_stereo_front_mse_pts2d",
+              "val/proposal_stereo_back_mse_pts2d",
+              "val/final_stereo_back_mse_pts2d",
+              "val/proposal_stereo_front_mse_heatmap",
               "val/final_stereo_front_mse_heatmap"):
         L.append(f"- {k}: {fmt_series(series(r2, k))}")
     L.append("\ntest split (final checkpoint):\n")
     keys2 = sorted(k for k in s2_test if "mse_heatmap" in k or "pts2d" in k)
     for k in keys2:
         L.append(f"- {k}: {s2_test[k]:.6f}")
+    for pair in ("front", "back"):
+        fr = s2_test.get(f"test/final_stereo_{pair}_mse_pts2d")
+        pr = s2_test.get(f"test/proposal_stereo_{pair}_mse_pts2d")
+        if fr is not None and pr is not None:
+            L.append(f"\n**Refined-vs-init pts2d MSE ({pair}): {fr:.4f} vs "
+                     f"{pr:.4f} "
+                     f"({'REFINED BEATS INIT' if fr < pr else 'NOT improved'})**")
     fr = s2_test.get("test/final_stereo_front_mse_heatmap")
     pr = s2_test.get("test/proposal_stereo_front_mse_heatmap")
     if fr is not None and pr is not None:
@@ -464,6 +475,21 @@ def write_report(args, timings, s1f, s1b, s2, s3, s2_test, s3_test):
     L.append("")
 
     out = os.path.join(REPO, "ACCURACY.md")
+    # Preserve the prior-round record: everything from the first round
+    # marker onward survives below the fresh report (the round-4 history
+    # was nearly lost to a wholesale rewrite once).
+    history = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        for marker in ("## Round-4 addendum", "# Round-3 record",
+                       "# Prior-round record"):
+            i = old.find(marker)
+            if i >= 0:
+                history = old[i:]
+                break
+    if history:
+        L.append("\n---\n")
+        L.append(history)
     with open(out, "w") as f:
         f.write("\n".join(L))
     print(f"wrote {out}")
