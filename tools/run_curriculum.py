@@ -213,6 +213,12 @@ def main():
         # ~105 ms device step); the synthetic set fits RAM with room to
         # spare, so cache decoded samples after epoch 0 (threads share it).
         "--model.dataset_kwargs.cache_in_memory", "true",
+        # ... and host->device bound after that: fp32 CHW frames are
+        # 3.1 MB/sample through the tunnel (~60 MB/s observed). Ship raw
+        # uint8 HWC (4x less) and normalize/render-GT on device
+        # (tasks.prepare_batch; parity pinned by
+        # tests/test_data_pipeline.py::test_device_preprocess_path).
+        "--model.dataset_kwargs.device_preprocess", "true",
     ]
     if args.batch_size:
         common += ["--model.batch_size", str(args.batch_size)]
@@ -236,6 +242,11 @@ def main():
             argv += ["--model.lr_decay_epochs", json.dumps(ms)]
         if subcmd == "fit" and args.ckpt_every > 1:
             argv += ["--trainer.ckpt_every_n_epochs", str(args.ckpt_every)]
+        if subcmd == "fit":
+            # Crash recovery WITHIN a stage: a relaunched driver restores
+            # the newest checkpoint under the stage dir instead of
+            # retraining from the grafts (fresh dirs have none -> no-op).
+            argv += ["--trainer.auto_resume", "true"]
         argv += ["--trainer.save_dir", save]
         if ckpt:
             argv += ["--ckpt_path", ckpt]
