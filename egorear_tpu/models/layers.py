@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
+import jax.custom_batching
 import jax.numpy as jnp
 
 from egorear_tpu.ops.deform_attn import deformable_sampling
@@ -490,3 +491,67 @@ class Conv3x3S2SpaceToDepth(nn.Module):
         )
         out = out + mm(ct, w_ct)
         return out + bias
+
+
+def _conv3x3s2_dense(x, kernel, bias):
+    """Plain 3x3 stride-2 pad-1 NHWC conv (the unbatched base case)."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
+    return y + bias
+
+
+@jax.custom_batching.custom_vmap
+def _conv3x3s2_unrollable(x, kernel, bias):
+    return _conv3x3s2_dense(x, kernel, bias)
+
+
+@_conv3x3s2_unrollable.def_vmap
+def _conv3x3s2_unroll_rule(axis_size, in_batched, x, kernel, bias):
+    # Under the per-view nn.vmap, XLA lowers a weight-batched conv as a
+    # grouped convolution and TRANSPOSES the whole (V, B, H, W, C)
+    # activation into (B, H, W, V*C) -- the round-5 b64 trace's #1 op
+    # (4.16 ms, PERF.md §1). V is a small static constant, so unroll
+    # instead: V dense convs on contiguous view-major slices, zero
+    # relayout. custom_vmap delivers each batched operand with the mapped
+    # axis moved to the front; grad-of-vmap differentiates the unrolled
+    # jaxpr (exactness pinned by tests/test_utils_misc.py).
+    xb, kb, bb = in_batched
+    outs = [
+        _conv3x3s2_dense(
+            x[v] if xb else x,
+            kernel[v] if kb else kernel,
+            bias[v] if bb else bias,
+        )
+        for v in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
+class Conv3x3S2Unroll(nn.Module):
+    """3x3 stride-2 pad-1 convolution that UNROLLS over a vmapped axis.
+
+    Outside vmap it is exactly ``nn.Conv(features, (3, 3), strides=2,
+    padding=1)``. Inside the per-view ``nn.vmap`` (stacked weights) the
+    custom_vmap rule replaces the grouped-conv lowering -- whose
+    (V, B, H, W, C) -> (B, H, W, V*C) relayout is the b64 trace's single
+    biggest op -- with V static dense convs on contiguous view-major
+    slices. Param names/shapes match nn.Conv; checkpoints are
+    interchangeable.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, Cin) NHWC
+        Cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, Cin, self.features),
+        ).astype(x.dtype)
+        bias = self.param(
+            "bias", zeros_init, (self.features,)
+        ).astype(x.dtype)
+        return _conv3x3s2_unrollable(x, kernel, bias)

@@ -91,6 +91,14 @@ def _conv3x3s2(features: int, name: str):
         from egorear_tpu.models.layers import Conv3x3S2SpaceToDepth
 
         return Conv3x3S2SpaceToDepth(features, name=name)
+    if impl == "unroll":
+        # custom_vmap unroll -- V static dense convs on contiguous
+        # view-major slices instead of the grouped-conv lowering whose
+        # (V, B, H, W, C) -> (B, H, W, V*C) relayout was the round-5 b64
+        # trace's single biggest op (4.16 ms, PERF.md §1/§4).
+        from egorear_tpu.models.layers import Conv3x3S2Unroll
+
+        return Conv3x3S2Unroll(features, name=name)
     return nn.Conv(
         features, (3, 3), strides=2, padding=((1, 1), (1, 1)), name=name
     )

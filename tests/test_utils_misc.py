@@ -212,3 +212,45 @@ def test_conv3x3s2_matmul_parity():
     # Same params drop into the other forms too (identical pytree).
     np.testing.assert_allclose(np.asarray(m3.apply(vs, x)), ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(m4.apply(vs, x)), ref, atol=1e-5)
+    from egorear_tpu.models.layers import Conv3x3S2Unroll
+
+    m5 = Conv3x3S2Unroll(12)
+    np.testing.assert_allclose(np.asarray(m5.apply(vs, x)), ref, atol=1e-5)
+
+
+def test_conv3x3s2_unroll_vmap_and_grad_parity():
+    """The custom_vmap unroll must be EXACT vs the grouped-conv lowering,
+    both forward and through grad-of-vmap (the training path)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from egorear_tpu.models.layers import Conv3x3S2Unroll
+
+    V, B, H, W, Cin, F = 3, 2, 8, 8, 5, 7
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(V, B, H, W, Cin)), jnp.float32)
+
+    ref_m = nn.vmap(
+        nn.Conv, in_axes=0, out_axes=0,
+        variable_axes={"params": 0}, split_rngs={"params": True},
+    )(F, (3, 3), strides=2, padding=((1, 1), (1, 1)))
+    unr_m = nn.vmap(
+        Conv3x3S2Unroll, in_axes=0, out_axes=0,
+        variable_axes={"params": 0}, split_rngs={"params": True},
+    )(F)
+
+    vs = ref_m.init(jax.random.PRNGKey(1), x)  # stacked (V, 3, 3, Cin, F)
+    ref = ref_m.apply(vs, x)
+    got = unr_m.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    g_ref = jax.grad(loss(ref_m))(vs)
+    g_unr = jax.grad(loss(unr_m))(vs)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4),
+        g_ref, g_unr,
+    )
